@@ -1,0 +1,79 @@
+"""Static render configuration — jit specialization parameters.
+
+Collects every compile-time constant of the reference into one hashable
+dataclass (SURVEY.md §5.6): window size (app.hpp:20-21), shadow-map size
+(shadow_map_pass.hpp:23), max point lights (renderer.hpp:22), plus the
+TPU-specific tiling knobs that have no reference analogue (the reference's
+16x16 compute groups, post_process_pass.hpp:39-40, are the closest thing).
+Changing any field implies recompilation — the analogue of rebuilding PSOs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # Output resolution (reference default window 1280x720, app.hpp:20-21).
+    width: int = 1280
+    height: int = 720
+
+    # Shadow map (ShadowMapPass::SIZE = 4000, shadow_map_pass.hpp:23).
+    shadow_size: int = 4000
+
+    # Screen tile shape for the binned rasterizer; (8, 128) matches the
+    # f32 VPU register tile so per-triangle edge tests fully occupy lanes.
+    tile_h: int = 8
+    tile_w: int = 128
+
+    # Triangles processed per inner rasterizer step (list chunk size).
+    raster_chunk: int = 128
+
+    # Capacity of the (tile, triangle) pair buffer as a multiple of the
+    # triangle capacity, plus a flat reserve for large-footprint triangles.
+    pairs_per_tri: int = 6
+    pair_reserve: int = 32768
+
+    # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):
+    # round shaded HDR values to f16 before the post-process pass.
+    hdr_half_round: bool = True
+
+    # Use the brute-force (all triangles vs all pixels) rasterizer instead of
+    # the binned pipeline. Only sane for tiny frames/tests.
+    force_bruteforce: bool = False
+
+    # --- derived ---
+    @property
+    def padded_width(self) -> int:
+        return _round_up(self.width, self.tile_w)
+
+    @property
+    def padded_height(self) -> int:
+        return _round_up(self.height, self.tile_h)
+
+    @property
+    def tiles_x(self) -> int:
+        return self.padded_width // self.tile_w
+
+    @property
+    def tiles_y(self) -> int:
+        return self.padded_height // self.tile_h
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_shadow(self) -> int:
+        return _round_up(self.shadow_size, max(self.tile_w, self.tile_h))
+
+    def with_resolution(self, width: int, height: int) -> "RenderConfig":
+        return replace(self, width=width, height=height)
+
+    def pair_capacity(self, tri_capacity: int) -> int:
+        return _round_up(self.pairs_per_tri * tri_capacity + self.pair_reserve, 1024)

@@ -1,0 +1,215 @@
+"""Scene / settings data model as JAX pytrees.
+
+TPU-native replacement for the reference's POD structs (src/renderer/scene.hpp:
+20-110).  Where the reference keeps per-resource GPU handles (Mesh/Material own
+ID3D12Resource + descriptor offsets, scene.hpp:49-69), here *all* geometry is
+flattened into HBM-resident SoA arrays at load time and materials become rows
+of an atlas lookup table — the pytree field names play the role the descriptor
+heap played.
+
+Dynamic per-frame state (camera, sun, point lights, settings) is a pytree of
+traced scalars/arrays, so moving the camera or editing a light never triggers
+recompilation — the analogue of the reference re-uploading root constants per
+draw (forward_pass.cpp:210-225) and the lights CBV (renderer.cpp:585-603).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arctic_tpu.core import maths
+
+# Renderer::MAX_NUM_POINT_LIGHTS (renderer.hpp:22).
+MAX_POINT_LIGHTS = 16
+
+# Tonemap method ids (post_process.hlsl:1-3).
+TM_REINHARD = 0
+TM_EXPOSURE = 1
+TM_ACES = 2
+
+
+def _pytree_dataclass(cls):
+    cls = dataclass(cls)
+    fields = dataclasses.fields(cls)
+    data = [f.name for f in fields if not f.metadata.get("static")]
+    meta = [f.name for f in fields if f.metadata.get("static")]
+    return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+
+
+def static_field(**kw):
+    return field(metadata={"static": True}, **kw)
+
+
+@_pytree_dataclass
+class Camera:
+    """Camera (scene.hpp:20-38). Rotation is (pitch, yaw) Euler degrees."""
+
+    eye: jnp.ndarray  # (3,) f32
+    rotation: jnp.ndarray  # (2,) f32 degrees
+    aspect: jnp.ndarray  # f32 scalar
+    fov_y: jnp.ndarray  # f32 scalar, degrees
+    z_near: jnp.ndarray  # f32 scalar
+    z_far: jnp.ndarray  # f32 scalar
+
+    def forward(self) -> jnp.ndarray:
+        return maths.dir_from_rot(self.rotation)
+
+    def proj_view(self) -> jnp.ndarray:
+        return maths.camera_proj_view(
+            self.eye, self.rotation, self.aspect, self.fov_y, self.z_near, self.z_far
+        )
+
+    def proj_view_no_translation(self) -> jnp.ndarray:
+        return maths.camera_proj_view_no_translation(
+            self.eye, self.rotation, self.aspect, self.fov_y, self.z_near, self.z_far
+        )
+
+
+@_pytree_dataclass
+class DirectionalLight:
+    """DirectionalLight (scene.hpp:77-86)."""
+
+    position: jnp.ndarray  # (3,) f32
+    rotation: jnp.ndarray  # (2,) f32 degrees
+    color: jnp.ndarray  # (3,) f32 (HDR)
+
+    def direction(self) -> jnp.ndarray:
+        return maths.dir_from_rot(self.rotation)
+
+    def proj_view(self) -> jnp.ndarray:
+        return maths.sun_proj_view(self.position, self.rotation)
+
+
+@_pytree_dataclass
+class PointLights:
+    """Fixed-capacity SoA point light bank (scene.hpp:88-94, max 16).
+
+    ``count`` is a traced int32 so adding/removing lights (app.cpp:495-523)
+    does not recompile; inactive rows are masked in the shader.
+    """
+
+    position: jnp.ndarray  # (16, 3) f32
+    color: jnp.ndarray  # (16, 3) f32
+    count: jnp.ndarray  # i32 scalar
+
+    @staticmethod
+    def from_list(lights: list[tuple]) -> "PointLights":
+        n = min(len(lights), MAX_POINT_LIGHTS)
+        pos = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
+        col = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
+        for i in range(n):
+            pos[i], col[i] = lights[i]
+        return PointLights(jnp.asarray(pos), jnp.asarray(col), jnp.int32(n))
+
+
+@_pytree_dataclass
+class SceneParams:
+    """Per-frame dynamic scene state (Scene aggregate, scene.hpp:96-103)."""
+
+    camera: Camera
+    ambient: jnp.ndarray  # f32 scalar
+    sun: DirectionalLight
+    point_lights: PointLights
+
+
+@_pytree_dataclass
+class Settings:
+    """Post-process settings (scene.hpp:105-110)."""
+
+    tm_method: jnp.ndarray  # i32 scalar: 0 reinhard / 1 exposure / 2 aces
+    gamma: jnp.ndarray  # f32 scalar
+    exposure: jnp.ndarray  # f32 scalar
+
+
+@_pytree_dataclass
+class Geometry:
+    """All scene geometry flattened to SoA arrays, padded to static shapes.
+
+    Replaces Mesh/Object/Vertex (scene.hpp:40-75): vertex attributes follow the
+    reference's 14-float Vertex layout; triangles carry the object id (for its
+    TRS) and material id of the mesh they came from.  Arrays are padded to a
+    bucket size; ``num_tris`` masks the tail.
+    """
+
+    positions: jnp.ndarray  # (V, 3) f32, object space
+    normals: jnp.ndarray  # (V, 3) f32
+    tangents: jnp.ndarray  # (V, 3) f32
+    bitangents: jnp.ndarray  # (V, 3) f32
+    uvs: jnp.ndarray  # (V, 2) f32 (already FlipUVs'd: v = 1 - v_gltf)
+    indices: jnp.ndarray  # (T, 3) i32
+    tri_object: jnp.ndarray  # (T,) i32 object id per triangle
+    tri_material: jnp.ndarray  # (T,) i32 material id per triangle
+    object_trs: jnp.ndarray  # (O, 4, 4) f32 world TRS per object
+    num_tris: jnp.ndarray  # i32 scalar, valid triangle count (<= T)
+
+    @property
+    def capacity(self) -> int:
+        return self.indices.shape[0]
+
+
+@_pytree_dataclass
+class TextureAtlas:
+    """All material textures packed into one 2D atlas.
+
+    Each material contributes three images (diffuse/normal/metal-roughness —
+    scene.hpp:62-69, loaded in app.cpp:194-296 with white/flat-normal
+    fallbacks).  ``regions`` holds one (y, x, h, w) rect per (material, slot):
+    slot 0 diffuse (sRGB-decoded to linear at pack time, renderer.cpp:486),
+    slot 1 normal map, slot 2 metalness-roughness, all stored linear.
+    Wrap addressing is computed in texel space relative to the region, so
+    bilinear taps wrap within their own texture like D3D WRAP mode.
+    """
+
+    data: jnp.ndarray  # (AH, AW, 4) texel data (bf16 or f32), linear
+    regions: jnp.ndarray  # (M, 3, 4) i32: per material x slot -> (y, x, h, w)
+
+
+@_pytree_dataclass
+class Environment:
+    """Equirectangular HDR environment map (renderer.cpp:111-126)."""
+
+    data: jnp.ndarray  # (H, W, 3) f32, linear radiance
+
+
+@_pytree_dataclass
+class SceneBuffers:
+    """Everything static the frame function needs on device."""
+
+    geometry: Geometry
+    atlas: TextureAtlas
+    environment: Environment
+
+
+def default_scene_params(aspect: float = 1280.0 / 720.0) -> SceneParams:
+    """The reference's startup scene state (app.hpp:42-63)."""
+    camera = Camera(
+        eye=jnp.array([0.0, 5.0, 0.0], jnp.float32),
+        rotation=jnp.array([0.0, 0.0], jnp.float32),
+        aspect=jnp.float32(aspect),
+        fov_y=jnp.float32(45.0),
+        z_near=jnp.float32(0.1),
+        z_far=jnp.float32(1000.0),
+    )
+    sun = DirectionalLight(
+        position=jnp.array([-10.0, 32.0, -2.48], jnp.float32),
+        rotation=jnp.array([-70.0, 12.0], jnp.float32),
+        color=jnp.array([8.0, 8.0, 8.0], jnp.float32),
+    )
+    lights = PointLights.from_list([((0.0, 1.0, 0.0), (10.0, 0.0, 0.0))])
+    return SceneParams(
+        camera=camera, ambient=jnp.float32(0.1), sun=sun, point_lights=lights
+    )
+
+
+def default_settings() -> Settings:
+    """Settings defaults (scene.hpp:105-110)."""
+    return Settings(
+        tm_method=jnp.int32(TM_REINHARD),
+        gamma=jnp.float32(2.2),
+        exposure=jnp.float32(1.0),
+    )
