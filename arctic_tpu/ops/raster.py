@@ -1,0 +1,378 @@
+"""Triangle setup + rasterization for TPU.
+
+The reference leans on D3D12's hardware rasterizer (vertex shader in
+shaders/depth.hlsl + shaders/forward.hlsl:50-66, fixed-function raster).
+TPUs have no ROPs and no efficient scatter, so rasterization is reformulated
+as dataflow:
+
+    clip-space verts -> near-plane clip (static 2T slots)
+                     -> screen-space triangle setup (edge + depth planes)
+                     -> depth test as a masked min-reduce over triangles
+                     -> visibility buffer (z, slot id) per pixel
+
+Edge functions are *linear* in pixel coordinates, so evaluating a block of
+pixels against a block of triangles is a matmul — that observation drives both
+the brute-force rasterizer here (tests / small frames) and the tiled Pallas
+kernel (ops/raster_tiles.py).
+
+D3D conventions reproduced:
+- viewport transform with y flip, pixel centers at +0.5 (D3D11.3 spec §3.3)
+- FrontCounterClockwise=TRUE culling (forward_pass.cpp:144): with y-down
+  screen coords the *visually* counter-clockwise front faces have negative
+  signed area.
+- top-left fill rule, depth func LESS, 0..1 depth range.
+- depth-only variant culls FRONT faces (shadow_map_pass.cpp:97).
+
+Watertightness: shared edges use a canonical endpoint ordering so the two
+adjacent triangles evaluate bit-identical (negated) edge functions — a pixel
+on the shared edge lands in exactly one triangle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from arctic_tpu.core.scene import _pytree_dataclass
+
+Array = jnp.ndarray
+
+# Vertex snap grid (1/16 pixel) keeps edge coefficients exactly representable.
+SNAP = 16.0
+# Exclusion bias for non-top-left edges (approximate top-left rule in f32).
+EDGE_EPS = 1.0 / 4096.0
+# Edge "C" coefficient for dead slots: fails every inside test.
+DEAD_C = -1.0e30
+
+
+# --------------------------------------------------------------------------
+# Near-plane clipping
+# --------------------------------------------------------------------------
+
+# For each 3-bit inside code (bit i = vertex i has clip z >= 0), a cyclic
+# rotation bringing the pattern to (in, out, out) or (in, in, out).
+_CLIP_ROT = jnp.array([0, 0, 1, 0, 2, 2, 1, 0], jnp.int32)
+_CLIP_NOUT = jnp.array([0, 1, 1, 2, 1, 2, 2, 1], jnp.int32)
+
+
+@_pytree_dataclass
+class ClippedTris:
+    """Output of near-plane clipping: 2 static slots per input triangle.
+
+    ``corner_bary[p, c]`` gives the barycentric weights of clipped-triangle
+    corner ``c`` over the three vertices of the *original* triangle — clip
+    space is linear in world space, so these weights interpolate any vertex
+    attribute exactly.
+    """
+
+    clip: Array  # (P, 3, 4) clip-space positions of clipped triangles
+    corner_bary: Array  # (P, 3, 3)
+    orig_tri: Array  # (P,) i32 index into the input triangle list
+    valid: Array  # (P,) bool
+
+
+def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> ClippedTris:
+    """Clip triangles against the near plane (clip z = 0, D3D ZO convention).
+
+    The reference gets this from fixed-function clipping; here each input
+    triangle owns 2 output slots (a clipped triangle fans into at most 2).
+    """
+    v = clip_verts[indices]  # (T, 3, 4)
+    tcount = indices.shape[0]
+    z = v[..., 2]
+    inside = z >= 0.0  # (T, 3)
+    code = (
+        inside[:, 0].astype(jnp.int32)
+        + 2 * inside[:, 1].astype(jnp.int32)
+        + 4 * inside[:, 2].astype(jnp.int32)
+    )
+    rot = _CLIP_ROT[code]  # (T,)
+    nout = jnp.where(tri_valid, _CLIP_NOUT[code], 0)
+
+    # Rotate vertices so inside ones come first (cyclic: winding preserved).
+    ridx = (jnp.arange(3)[None, :] + rot[:, None]) % 3  # (T, 3)
+    vr = jnp.take_along_axis(v, ridx[:, :, None], axis=1)  # (T, 3, 4)
+    zr = vr[..., 2]
+    # Identity barycentric rows, permuted with the vertices.
+    eye = jnp.eye(3, dtype=jnp.float32)
+    br = eye[ridx]  # (T, 3, 3): row c = one-hot of original vertex index
+
+    a, b, c = vr[:, 0], vr[:, 1], vr[:, 2]
+    ba, bb, bc = br[:, 0], br[:, 1], br[:, 2]
+    za, zb, zc = zr[:, 0], zr[:, 1], zr[:, 2]
+
+    def lerp(p, q, t):
+        return p + t[:, None] * (q - p)
+
+    safe = lambda n, d: n / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+
+    # Case one-in (a in; b, c out): triangle (a, ab, ac).
+    t_ab = safe(za, za - zb)
+    t_ac = safe(za, za - zc)
+    one_tri = jnp.stack([a, lerp(a, b, t_ab), lerp(a, c, t_ac)], axis=1)
+    one_bary = jnp.stack([ba, lerp(ba, bb, t_ab), lerp(ba, bc, t_ac)], axis=1)
+
+    # Case two-in (a, b in; c out): fan (a, b, bc) + (a, bc, ac).
+    t_bc = safe(zb, zb - zc)
+    t_ca = safe(za, za - zc)
+    p_bc, bb_bc = lerp(b, c, t_bc), lerp(bb, bc, t_bc)
+    p_ac, bb_ac = lerp(a, c, t_ca), lerp(ba, bc, t_ca)
+    two_tri0 = jnp.stack([a, b, p_bc], axis=1)
+    two_bary0 = jnp.stack([ba, bb, bb_bc], axis=1)
+    two_tri1 = jnp.stack([a, p_bc, p_ac], axis=1)
+    two_bary1 = jnp.stack([ba, bb_bc, bb_ac], axis=1)
+
+    is_all_in = (code == 7)[:, None, None]
+    is_one_in = ((code == 1) | (code == 2) | (code == 4))[:, None, None]
+    out0 = jnp.where(is_all_in, vr, jnp.where(is_one_in, one_tri, two_tri0))
+    bary0 = jnp.where(is_all_in, br, jnp.where(is_one_in, one_bary, two_bary0))
+    out1, bary1 = two_tri1, two_bary1
+
+    slot_tri = jnp.stack([out0, out1], axis=1).reshape(2 * tcount, 3, 4)
+    slot_bary = jnp.stack([bary0, bary1], axis=1).reshape(2 * tcount, 3, 3)
+    valid = jnp.stack([nout >= 1, nout >= 2], axis=1).reshape(2 * tcount)
+    orig = jnp.repeat(jnp.arange(tcount, dtype=jnp.int32), 2, total_repeat_length=2 * tcount)
+    return ClippedTris(clip=slot_tri, corner_bary=slot_bary, orig_tri=orig, valid=valid)
+
+
+# --------------------------------------------------------------------------
+# Screen-space setup
+# --------------------------------------------------------------------------
+
+
+@_pytree_dataclass
+class TriSetup:
+    """Per-slot screen-space triangle data consumed by raster + shading."""
+
+    screen: Array  # (P, 3, 2) snapped screen xy (y down)
+    w: Array  # (P, 3) clip w per corner
+    zplane: Array  # (P, 3) depth plane [Az, Bz, Cz]: z(p) = Az x + Bz y + Cz
+    edges: Array  # (P, 3, 3) oriented edge coeffs [A, B, C]; C includes the
+    #                fill-rule bias; e_i >= 0 for all i <=> pixel covered
+    inv_area2: Array  # (P,) 1 / |signed area * 2| for barycentrics
+    corner_bary: Array  # (P, 3, 3) weights over original triangle vertices
+    orig_tri: Array  # (P,) i32
+    valid: Array  # (P,) bool
+    bbox: Array  # (P, 4) f32 screen bbox (x0, y0, x1, y1), clamped to viewport
+
+    @property
+    def capacity(self) -> int:
+        return self.screen.shape[0]
+
+
+def _canonical_edge(ax, ay, bx, by):
+    """Edge coefficients with canonical endpoint order for watertightness.
+
+    Returns (A, B, C, flip) with e(p) = A px + B py + C computed from the
+    lexicographically smaller endpoint first; ``flip`` is -1 if (a, b) was
+    swapped. Two triangles sharing the edge get bit-identical |coefficients|.
+    """
+    swap = (ay > by) | ((ay == by) & (ax > bx))
+    x0 = jnp.where(swap, bx, ax)
+    y0 = jnp.where(swap, by, ay)
+    x1 = jnp.where(swap, ax, bx)
+    y1 = jnp.where(swap, ay, by)
+    dx = x1 - x0
+    dy = y1 - y0
+    # e(p) = cross(b - a, p - a) = dx (py - y0) - dy (px - x0)
+    A = -dy
+    B = dx
+    C = dy * x0 - dx * y0
+    flip = jnp.where(swap, -1.0, 1.0)
+    return A, B, C, flip
+
+
+def setup_screen_triangles(
+    tris: ClippedTris,
+    width: int,
+    height: int,
+    cull: str = "back",
+) -> TriSetup:
+    """Project clipped triangles to the viewport and build raster planes.
+
+    cull: "back" keeps visually-CCW front faces (forward pass semantics,
+    forward_pass.cpp:144 FrontCounterClockwise + default BACK cull); "front"
+    keeps the opposite set (shadow pass, shadow_map_pass.cpp:97); "none"
+    keeps both.
+    """
+    clip = tris.clip
+    w = clip[..., 3]
+    ndc = clip[..., :3] / w[..., None]
+    # D3D viewport transform (y flip), snapped to the 1/16 px grid.
+    sx = jnp.round((ndc[..., 0] + 1.0) * (0.5 * width) * SNAP) / SNAP
+    sy = jnp.round((1.0 - ndc[..., 1]) * (0.5 * height) * SNAP) / SNAP
+    z = ndc[..., 2]
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+
+    # Front faces (visually CCW, y-down coords) have area2 < 0.
+    if cull == "back":
+        keep = area2 < 0
+    elif cull == "front":
+        keep = area2 > 0
+    elif cull == "none":
+        keep = area2 != 0
+    else:  # pragma: no cover
+        raise ValueError(f"bad cull mode {cull!r}")
+    s = jnp.where(area2 < 0, -1.0, 1.0)  # orient edges inside-positive
+
+    # Edge i is opposite vertex i: from vertex i+1 to vertex i+2.
+    corners = [(x0, y0), (x1, y1), (x2, y2)]
+    edges = []
+    for i in range(3):
+        ax, ay = corners[(i + 1) % 3]
+        bx, by = corners[(i + 2) % 3]
+        A, B, C, flip = _canonical_edge(ax, ay, bx, by)
+        o = s * flip
+        edges.append((o * A, o * B, o * C))
+
+    inv_area2 = 1.0 / jnp.where(area2 == 0, 1.0, jnp.abs(area2))
+
+    # Depth plane from the oriented edges: z(p) = sum_i e_i(p) z_i / |area2|.
+    zs = [z[:, 0], z[:, 1], z[:, 2]]
+    Az = sum(edges[i][0] * zs[i] for i in range(3)) * inv_area2
+    Bz = sum(edges[i][1] * zs[i] for i in range(3)) * inv_area2
+    Cz = sum(edges[i][2] * zs[i] for i in range(3)) * inv_area2
+
+    # Fill rule: include the boundary only on top (A==0, B>0) and left (A>0)
+    # edges; bias everything else out by a sub-quantum epsilon.
+    biased = []
+    for A, B, C in edges:
+        top_left = ((A == 0) & (B > 0)) | (A > 0)
+        biased.append((A, B, C + jnp.where(top_left, 0.0, -EDGE_EPS)))
+
+    valid = tris.valid & keep & jnp.isfinite(area2)
+    edge_arr = jnp.stack(
+        [jnp.stack(e, axis=-1) for e in biased], axis=1
+    )  # (P, 3, 3)
+    # Dead slots: make every inside test fail without branching.
+    edge_arr = jnp.where(valid[:, None, None], edge_arr, edge_arr.at[:, :, 2].set(DEAD_C))
+
+    bx0 = jnp.clip(jnp.minimum(jnp.minimum(x0, x1), x2), 0.0, float(width))
+    bx1 = jnp.clip(jnp.maximum(jnp.maximum(x0, x1), x2), 0.0, float(width))
+    by0 = jnp.clip(jnp.minimum(jnp.minimum(y0, y1), y2), 0.0, float(height))
+    by1 = jnp.clip(jnp.maximum(jnp.maximum(y0, y1), y2), 0.0, float(height))
+    valid = valid & (bx1 > bx0) & (by1 > by0)
+
+    return TriSetup(
+        screen=jnp.stack([sx, sy], axis=-1),
+        w=w,
+        zplane=jnp.stack([Az, Bz, Cz], axis=-1),
+        edges=edge_arr,
+        inv_area2=inv_area2,
+        corner_bary=tris.corner_bary,
+        orig_tri=tris.orig_tri,
+        valid=valid,
+        bbox=jnp.stack([bx0, by0, bx1, by1], axis=-1),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force rasterizer (correctness baseline / tiny frames / CPU "WARP")
+# --------------------------------------------------------------------------
+
+
+def _pixel_centers(height: int, width: int) -> Tuple[Array, Array]:
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    return jnp.meshgrid(xs, ys, indexing="xy")  # each (H, W)
+
+
+def rasterize_bruteforce(
+    setup: TriSetup, height: int, width: int, chunk: int = 256
+) -> Tuple[Array, Array]:
+    """Depth-test every triangle against every pixel, in chunks.
+
+    Semantics of the hardware path (depth LESS, draw order breaks ties):
+    earlier slots win ties because argmin returns the first minimum and the
+    cross-chunk carry uses strict <.
+    Returns (zbuf f32 (H, W) init 1.0, ibuf i32 (H, W) init -1).
+    """
+    cap = setup.capacity
+    pad = (-cap) % chunk
+    edges = jnp.pad(setup.edges, ((0, pad), (0, 0), (0, 0)))
+    edges = edges.at[cap:, :, 2].set(DEAD_C) if pad else edges
+    zplane = jnp.pad(setup.zplane, ((0, pad), (0, 0)))
+    n_chunks = (cap + pad) // chunk
+
+    px, py = _pixel_centers(height, width)
+    pix = jnp.stack([px.ravel(), py.ravel(), jnp.ones_like(px).ravel()], axis=1)
+
+    edges_c = edges.reshape(n_chunks, chunk, 3, 3)
+    zplane_c = zplane.reshape(n_chunks, chunk, 3)
+
+    def body(carry, inputs):
+        zbuf, ibuf = carry
+        e, zp, base = inputs
+        # (HW, 3) @ (3, chunk*3) — edge functions for the whole chunk.
+        ev = jnp.matmul(
+            pix, e.reshape(chunk * 3, 3).T, precision=jax.lax.Precision.HIGHEST
+        ).reshape(-1, chunk, 3)
+        inside = jnp.all(ev >= 0.0, axis=-1)  # (HW, chunk)
+        zv = jnp.matmul(pix, zp.T, precision=jax.lax.Precision.HIGHEST)
+        zv = jnp.where(inside & (zv >= 0.0) & (zv <= 1.0), zv, jnp.inf)
+        k = jnp.argmin(zv, axis=1)
+        zmin = jnp.take_along_axis(zv, k[:, None], axis=1)[:, 0]
+        upd = zmin < zbuf
+        zbuf = jnp.where(upd, zmin, zbuf)
+        ibuf = jnp.where(upd, base + k.astype(jnp.int32), ibuf)
+        return (zbuf, ibuf), None
+
+    zbuf0 = jnp.ones((height * width,), jnp.float32)
+    ibuf0 = jnp.full((height * width,), -1, jnp.int32)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (zbuf, ibuf), _ = jax.lax.scan(body, (zbuf0, ibuf0), (edges_c, zplane_c, bases))
+    return zbuf.reshape(height, width), ibuf.reshape(height, width)
+
+
+# --------------------------------------------------------------------------
+# Attribute interpolation from a visibility buffer
+# --------------------------------------------------------------------------
+
+
+def pixel_barycentrics(
+    setup: TriSetup, ibuf: Array, height: int, width: int
+) -> Tuple[Array, Array]:
+    """Perspective-correct barycentrics over *original* triangle vertices.
+
+    Returns (bary (H, W, 3), covered (H, W)). For covered pixels,
+    ``attr = sum_i bary[..., i] * attr[orig_vertex_i]`` reproduces the D3D
+    perspective-correct interpolation (including across near-plane clips,
+    via the stored corner weights).
+    """
+    slot = jnp.maximum(ibuf, 0)
+    covered = ibuf >= 0
+    e = setup.edges[slot]  # (H, W, 3, 3)
+    w = setup.w[slot]  # (H, W, 3)
+    inv_a = setup.inv_area2[slot]  # (H, W)
+    cb = setup.corner_bary[slot]  # (H, W, 3, 3)
+
+    px, py = _pixel_centers(height, width)
+    ev = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]
+    b_screen = ev * inv_a[..., None]  # (H, W, 3) affine barycentrics
+    bw = b_screen / w  # perspective weights over clipped corners
+    b_orig = jnp.einsum("hwc,hwci->hwi", bw, cb)
+    denom = jnp.sum(b_orig, axis=-1, keepdims=True)
+    b_orig = b_orig / jnp.where(denom == 0, 1.0, denom)
+    return b_orig, covered
+
+
+def interpolate(
+    setup: TriSetup,
+    ibuf: Array,
+    indices: Array,
+    attrs: Array,
+    bary: Array,
+) -> Array:
+    """Interpolate per-vertex ``attrs`` (V, C) at covered pixels -> (H, W, C)."""
+    slot = jnp.maximum(ibuf, 0)
+    tri = setup.orig_tri[slot]  # (H, W)
+    vidx = indices[tri]  # (H, W, 3)
+    av = attrs[vidx]  # (H, W, 3, C)
+    return jnp.einsum("hwi,hwic->hwc", bary, av)
