@@ -26,10 +26,12 @@ class RenderConfig:
     # Shadow map (ShadowMapPass::SIZE = 4000, shadow_map_pass.hpp:23).
     shadow_size: int = 4000
 
-    # Screen tile shape for the binned rasterizer; (8, 128) matches the
-    # f32 VPU register tile so per-triangle edge tests fully occupy lanes.
-    tile_h: int = 8
-    tile_w: int = 128
+    # Screen tile shape for the binned rasterizer. Tiles are flattened
+    # row-major into (tile_h*tile_w/128, 128) VMEM blocks, so tile_h*tile_w
+    # must be a multiple of 128; 32x32 balances pair count (squarer tiles bin
+    # fewer triangle-tile pairs) against per-triangle VPU work.
+    tile_h: int = 32
+    tile_w: int = 32
 
     # Triangles processed per inner rasterizer step (list chunk size).
     raster_chunk: int = 128

@@ -131,18 +131,27 @@ class Geometry:
     """All scene geometry flattened to SoA arrays, padded to static shapes.
 
     Replaces Mesh/Object/Vertex (scene.hpp:40-75): vertex attributes follow the
-    reference's 14-float Vertex layout; triangles carry the object id (for its
-    TRS) and material id of the mesh they came from.  Arrays are padded to a
-    bucket size; ``num_tris`` masks the tail.
+    reference's 14-float Vertex layout; triangles carry the material id of the
+    mesh they came from.  Arrays are padded to a bucket size; ``num_tris``
+    masks the tail.
+
+    Vertices are expanded per *object instance* at load time (two objects
+    sharing a mesh get separate vertex ranges) so ``vertex_object`` gives each
+    vertex exactly one TRS.
+
+    Shading-normal quirk preserved from the reference: the forward VS builds
+    the TBN from *object-space* normal/tangent/bitangent without applying the
+    model matrix (forward.hlsl:54-61) — only positions are transformed.  We
+    keep n/t/b untransformed to match.
     """
 
     positions: jnp.ndarray  # (V, 3) f32, object space
-    normals: jnp.ndarray  # (V, 3) f32
+    normals: jnp.ndarray  # (V, 3) f32 (object space, see quirk above)
     tangents: jnp.ndarray  # (V, 3) f32
     bitangents: jnp.ndarray  # (V, 3) f32
     uvs: jnp.ndarray  # (V, 2) f32 (already FlipUVs'd: v = 1 - v_gltf)
+    vertex_object: jnp.ndarray  # (V,) i32 object id per vertex
     indices: jnp.ndarray  # (T, 3) i32
-    tri_object: jnp.ndarray  # (T,) i32 object id per triangle
     tri_material: jnp.ndarray  # (T,) i32 material id per triangle
     object_trs: jnp.ndarray  # (O, 4, 4) f32 world TRS per object
     num_tris: jnp.ndarray  # i32 scalar, valid triangle count (<= T)

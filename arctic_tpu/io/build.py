@@ -1,0 +1,213 @@
+"""Host-side scene assembly: meshes + materials + env -> device SceneBuffers.
+
+This replaces the reference's load path (App::load_scene, app.cpp:173-385 +
+Renderer::create_mesh/create_material/create_hdri, renderer.cpp:417-583).
+Where the reference does one blocking staging-buffer upload per resource
+(SURVEY.md §3.1), we assemble SoA numpy arrays on the host and device_put the
+whole pytree once.
+
+A C++ fast path for the CPU-heavy pieces (tangent generation, image packing,
+OBJ parsing, RGBE decode) lives in native/arctic_native.cpp; the numpy
+implementations here are the reference semantics and the fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from arctic_tpu.core.scene import (
+    Environment,
+    Geometry,
+    SceneBuffers,
+    TextureAtlas,
+)
+
+
+@dataclass
+class MaterialImages:
+    """The three textures of a material (scene.hpp:62-69), as u8 RGBA.
+
+    ``diffuse`` is sRGB-encoded (decoded at pack time like the _SRGB SRV,
+    renderer.cpp:486); normal and metal-roughness are linear.
+    """
+
+    diffuse: np.ndarray
+    normal: np.ndarray
+    metal_roughness: np.ndarray
+
+
+@dataclass
+class MeshData:
+    """One mesh in object space (app.cpp:299-356 extraction equivalent)."""
+
+    positions: np.ndarray  # (N, 3) f32
+    normals: np.ndarray  # (N, 3) f32
+    uvs: np.ndarray  # (N, 2) f32, v already flipped (FlipUVs)
+    indices: np.ndarray  # (M, 3) i32
+    material: int
+    tangents: np.ndarray | None = None
+    bitangents: np.ndarray | None = None
+
+
+def fallback_diffuse() -> np.ndarray:
+    """assets/white.png equivalent (app.cpp:214)."""
+    return np.full((1, 1, 4), 255, np.uint8)
+
+
+def fallback_normal() -> np.ndarray:
+    """assets/normal.png equivalent (app.cpp:229): flat +Z tangent normal."""
+    t = np.zeros((1, 1, 4), np.uint8)
+    t[..., 0], t[..., 1], t[..., 2], t[..., 3] = 128, 128, 255, 255
+    return t
+
+
+def compute_tangents(
+    positions: np.ndarray, normals: np.ndarray, uvs: np.ndarray, indices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vertex tangent frame from UV derivatives (aiProcess_CalcTangentSpace
+    analogue, app.cpp:180): accumulate per-face tangents, then Gram-Schmidt
+    against the vertex normal."""
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    e1 = positions[i1] - positions[i0]
+    e2 = positions[i2] - positions[i0]
+    d1 = uvs[i1] - uvs[i0]
+    d2 = uvs[i2] - uvs[i0]
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    r = np.where(np.abs(det) < 1e-12, 0.0, 1.0 / np.where(det == 0, 1.0, det))
+    t_face = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r[:, None]
+    b_face = (e2 * d1[:, 0:1] - e1 * d2[:, 0:1]) * r[:, None]
+
+    tan = np.zeros_like(positions)
+    btn = np.zeros_like(positions)
+    for tri_idx in (i0, i1, i2):
+        np.add.at(tan, tri_idx, t_face)
+        np.add.at(btn, tri_idx, b_face)
+
+    n = normals
+    tan = tan - n * np.sum(n * tan, axis=1, keepdims=True)
+    ln = np.linalg.norm(tan, axis=1, keepdims=True)
+    # Degenerate UVs: fall back to any vector orthogonal to n.
+    alt = np.cross(n, np.where(np.abs(n[:, 0:1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]]))
+    tan = np.where(ln > 1e-8, tan / np.maximum(ln, 1e-20), alt / np.linalg.norm(alt, axis=1, keepdims=True))
+    lb = np.linalg.norm(btn, axis=1, keepdims=True)
+    handed = np.where(np.sum(np.cross(n, tan) * btn, axis=1, keepdims=True) < 0, -1.0, 1.0)
+    btn = np.cross(n, tan) * handed
+    return tan.astype(np.float32), btn.astype(np.float32)
+
+
+def srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
+    c = c.astype(np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def pack_atlas(
+    images: Sequence[np.ndarray], dtype=jnp.bfloat16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shelf-pack images into one (AH, AW, 4) array; returns (atlas, locs).
+
+    locs rows are (y, x, h, w). Images must already be float linear RGBA.
+    """
+    order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
+    max_w = max(im.shape[1] for im in images)
+    atlas_w = 1
+    while atlas_w < max_w or atlas_w * atlas_w < sum(im.shape[0] * im.shape[1] for im in images):
+        atlas_w *= 2
+    shelves: list[list[int]] = []  # [y, height, x_cursor]
+    locs = np.zeros((len(images), 4), np.int32)
+    y_cursor = 0
+    for idx in order:
+        h, w = images[idx].shape[:2]
+        placed = False
+        for shelf in shelves:
+            if shelf[2] + w <= atlas_w and h <= shelf[1]:
+                locs[idx] = (shelf[0], shelf[2], h, w)
+                shelf[2] += w
+                placed = True
+                break
+        if not placed:
+            shelves.append([y_cursor, h, w])
+            locs[idx] = (y_cursor, 0, h, w)
+            y_cursor += h
+    atlas_h = max(y_cursor, 1)
+    atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
+    for idx, im in enumerate(images):
+        y, x, h, w = locs[idx]
+        atlas[y : y + h, x : x + w] = im
+    return atlas, locs
+
+
+def _round_up(x: int, m: int) -> int:
+    return max((x + m - 1) // m * m, m)
+
+
+def build_buffers(
+    meshes: Sequence[MeshData],
+    objects: Sequence[tuple[np.ndarray, int]],  # (trs 4x4, mesh index)
+    materials: Sequence[MaterialImages],
+    environment: np.ndarray,  # (H, W, 3) f32 linear radiance
+    atlas_dtype=jnp.bfloat16,
+    tri_bucket: int = 1024,
+) -> SceneBuffers:
+    """Flatten a scene into device buffers (one host->HBM transfer each)."""
+    pos_l, nrm_l, tan_l, btn_l, uv_l, vobj_l = [], [], [], [], [], []
+    idx_l, mat_l = [], []
+    vbase = 0
+    trs_list = []
+    for obj_id, (trs, mesh_idx) in enumerate(objects):
+        m = meshes[mesh_idx]
+        tan, btn = m.tangents, m.bitangents
+        if tan is None or btn is None:
+            tan, btn = compute_tangents(m.positions, m.normals, m.uvs, m.indices)
+        nv = len(m.positions)
+        pos_l.append(np.asarray(m.positions, np.float32))
+        nrm_l.append(np.asarray(m.normals, np.float32))
+        tan_l.append(np.asarray(tan, np.float32))
+        btn_l.append(np.asarray(btn, np.float32))
+        uv_l.append(np.asarray(m.uvs, np.float32))
+        vobj_l.append(np.full(nv, obj_id, np.int32))
+        idx_l.append(np.asarray(m.indices, np.int32) + vbase)
+        mat_l.append(np.full(len(m.indices), m.material, np.int32))
+        trs_list.append(np.asarray(trs, np.float32))
+        vbase += nv
+
+    positions = np.concatenate(pos_l)
+    indices = np.concatenate(idx_l)
+    tri_mat = np.concatenate(mat_l)
+    num_tris = len(indices)
+    cap = _round_up(num_tris, tri_bucket)
+    indices = np.pad(indices, ((0, cap - num_tris), (0, 0)))
+    tri_mat = np.pad(tri_mat, (0, cap - num_tris))
+
+    geometry = Geometry(
+        positions=jnp.asarray(positions),
+        normals=jnp.asarray(np.concatenate(nrm_l)),
+        tangents=jnp.asarray(np.concatenate(tan_l)),
+        bitangents=jnp.asarray(np.concatenate(btn_l)),
+        uvs=jnp.asarray(np.concatenate(uv_l)),
+        vertex_object=jnp.asarray(np.concatenate(vobj_l)),
+        indices=jnp.asarray(indices),
+        tri_material=jnp.asarray(tri_mat),
+        object_trs=jnp.asarray(np.stack(trs_list)),
+        num_tris=jnp.int32(num_tris),
+    )
+
+    # Atlas: 3 slots per material; diffuse sRGB-decoded, rest linear.
+    images = []
+    for mat in materials:
+        d = mat.diffuse.astype(np.float32) / 255.0
+        d[..., :3] = srgb_to_linear_np(d[..., :3])
+        images.append(d)
+        images.append(mat.normal.astype(np.float32) / 255.0)
+        images.append(mat.metal_roughness.astype(np.float32) / 255.0)
+    atlas_np, locs = pack_atlas(images)
+    regions = locs.reshape(len(materials), 3, 4)
+    atlas = TextureAtlas(
+        data=jnp.asarray(atlas_np, atlas_dtype), regions=jnp.asarray(regions)
+    )
+
+    env = Environment(data=jnp.asarray(environment, jnp.float32))
+    return SceneBuffers(geometry=geometry, atlas=atlas, environment=env)

@@ -1,0 +1,203 @@
+"""The frame pipeline: Arctic's 4-pass frame graph as one jitted function.
+
+Reference frame (renderer.cpp:274-415): shadow-map pass -> barrier -> forward
+PBR pass -> skybox pass -> barriers -> compute post-process -> copy to
+backbuffer.  Here the passes are pure functions over arrays; XLA's dataflow
+ordering replaces all 9 resource barriers and the fences (SURVEY.md §2 end),
+and "descriptor heaps" are just pytree fields.
+
+Differences by design (not behavior):
+- rasterization writes a visibility buffer; shading is deferred so PBR math
+  runs once per pixel (the reference shades during raster; with depth-test
+  LESS and opaque geometry the final pixel values are identical, modulo
+  overdraw the reference pays and we don't)
+- the skybox is composited analytically where the visibility buffer is empty
+  (see ops/sky.py) — pixel-equivalent to the cube draw at z == far
+- the HDR target's R16G16B16A16_FLOAT storage is emulated by an f16
+  round-trip before post-processing (config.hdr_half_round)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from arctic_tpu.core import maths
+from arctic_tpu.core.config import RenderConfig
+from arctic_tpu.core.scene import (
+    MAX_POINT_LIGHTS,
+    Geometry,
+    SceneBuffers,
+    SceneParams,
+    Settings,
+)
+from arctic_tpu.ops import pbr, raster, shadow, sky, tonemap
+from arctic_tpu.ops.sampling import sample_atlas
+
+Array = jnp.ndarray
+
+
+def vertex_world_positions(geom: Geometry) -> Array:
+    """Apply per-object TRS to vertices (depth.hlsl:9 / forward.hlsl:52)."""
+    trs = geom.object_trs[geom.vertex_object]  # (V, 4, 4)
+    ph = jnp.concatenate(
+        [geom.positions, jnp.ones((geom.positions.shape[0], 1), jnp.float32)], axis=1
+    )
+    return jnp.einsum(
+        "vij,vj->vi", trs, ph, precision=jax.lax.Precision.HIGHEST
+    )[:, :3]
+
+
+def to_clip(world: Array, proj_view: Array) -> Array:
+    wh = jnp.concatenate([world, jnp.ones((world.shape[0], 1), jnp.float32)], axis=1)
+    return jnp.matmul(wh, proj_view.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def _rasterize(setup: raster.TriSetup, height: int, width: int, config: RenderConfig):
+    if config.force_bruteforce:
+        return raster.rasterize_bruteforce(setup, height, width, config.raster_chunk)
+    from arctic_tpu.ops import raster_tiles
+
+    return raster_tiles.rasterize_tiled(setup, height, width, config)
+
+
+def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfig) -> Array:
+    """Depth-only pass from the sun's view (shadow_map_pass.cpp:113-169).
+
+    Front-face culling for acne control (shadow_map_pass.cpp:97); the map is
+    cleared to 1.0 and keeps z of the nearest *back* faces.
+    """
+    clip = to_clip(world, sun_pv)
+    tri_valid = jnp.arange(geom.capacity) < geom.num_tris
+    clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
+    s = config.shadow_size
+    setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
+    zbuf, _ = _rasterize(setup, s, s, config)
+    return zbuf
+
+
+def main_pass(
+    world: Array, geom: Geometry, cam_pv: Array, config: RenderConfig
+) -> Tuple[raster.TriSetup, Array, Array]:
+    """Forward-pass visibility: back-face cull, depth LESS (forward_pass.cpp)."""
+    clip = to_clip(world, cam_pv)
+    tri_valid = jnp.arange(geom.capacity) < geom.num_tris
+    clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
+    setup = raster.setup_screen_triangles(clipped, config.width, config.height, cull="back")
+    zbuf, ibuf = _rasterize(setup, config.height, config.width, config)
+    return setup, zbuf, ibuf
+
+
+def shade(
+    buffers: SceneBuffers,
+    params: SceneParams,
+    setup: raster.TriSetup,
+    ibuf: Array,
+    world: Array,
+    shadow_map: Array,
+    sun_pv: Array,
+    config: RenderConfig,
+) -> Array:
+    """Deferred evaluation of forward.hlsl's pixel shader (ps_main, :208-235)."""
+    geom = buffers.geometry
+    h, w = config.height, config.width
+    bary, covered = raster.pixel_barycentrics(setup, ibuf, h, w)
+
+    # Vertex attribute block: world pos, object-space n/t/b (normalized per
+    # vertex like the VS, forward.hlsl:54-56), uv.
+    nrm = maths.normalize(geom.normals)
+    tan = maths.normalize(geom.tangents)
+    btn = maths.normalize(geom.bitangents)
+    attrs = jnp.concatenate([world, nrm, tan, btn, geom.uvs], axis=1)  # (V, 14)
+    a = raster.interpolate(setup, ibuf, geom.indices, attrs, bary)  # (H, W, 14)
+    wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
+
+    slot = jnp.maximum(ibuf, 0)
+    mat_id = geom.tri_material[setup.orig_tri[slot]]  # (H, W)
+    regions = buffers.atlas.regions[mat_id]  # (H, W, 3, 4)
+    diffuse = sample_atlas(buffers.atlas.data, regions[..., 0, :], uv)
+    base_color = diffuse[..., :3]  # sRGB-decoded at atlas build
+    nm = sample_atlas(buffers.atlas.data, regions[..., 1, :], uv)[..., :3]
+    mr = sample_atlas(buffers.atlas.data, regions[..., 2, :], uv)
+
+    # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
+    nm = nm.at[..., 1].set(1.0 - nm[..., 1])
+    nm = nm * 2.0 - 1.0
+    n = maths.normalize(
+        t_v * nm[..., 0:1] + b_v * nm[..., 1:2] + n_v * nm[..., 2:3]
+    )
+    metalness = mr[..., 2]  # blue channel (forward.hlsl:114-118)
+    roughness = mr[..., 1]  # green channel (forward.hlsl:120-124)
+
+    # Shadow term once per pixel, reused for sun and point lights
+    # (forward.hlsl:221-230 — the point-light quirk).
+    wph = jnp.concatenate([wp, jnp.ones((h, w, 1), jnp.float32)], axis=-1)
+    lsp = jnp.einsum("ij,hwj->hwi", sun_pv, wph, precision=jax.lax.Precision.HIGHEST)
+    shadow_f = shadow.pcf_shadow(shadow_map, lsp)
+    lit = (1.0 - shadow_f)[..., None]
+
+    eye = params.camera.eye
+    wo = maths.normalize(eye[None, None, :] - wp)
+    sun_dir = params.sun.direction()
+    lo = lit * pbr.outgoing_radiance(
+        n,
+        wo,
+        -sun_dir[None, None, :],
+        params.sun.color[None, None, :],
+        base_color,
+        metalness,
+        roughness,
+    )
+
+    def light_body(i, acc):
+        lpos = params.point_lights.position[i]
+        lcol = params.point_lights.color[i]
+        ldir = lpos[None, None, :] - wp
+        dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
+        wi = ldir / dist[..., None]
+        radiance = lcol[None, None, :] / (dist * dist)[..., None]
+        contrib = lit * pbr.outgoing_radiance(
+            n, wo, wi, radiance, base_color, metalness, roughness
+        )
+        return acc + jnp.where(i < params.point_lights.count, contrib, 0.0)
+
+    lo = jax.lax.fori_loop(0, MAX_POINT_LIGHTS, light_body, lo)
+    color = lo + params.ambient * base_color  # forward.hlsl:233
+
+    # Skybox where no geometry wrote depth (skybox pass semantics).
+    dirs = sky.camera_ray_directions(params.camera, h, w)
+    background = sky.sample_environment(buffers.environment.data, dirs)
+    return jnp.where(covered[..., None], color, background)
+
+
+def render_frame(
+    buffers: SceneBuffers,
+    params: SceneParams,
+    settings: Settings,
+    config: RenderConfig,
+) -> Array:
+    """Full frame -> (H, W, 3) uint8. The TPU analogue of
+    Renderer::render_frame (renderer.cpp:274-415), one XLA program."""
+    geom = buffers.geometry
+    world = vertex_world_positions(geom)
+    sun_pv = params.sun.proj_view()
+    shadow_map = shadow_pass(world, geom, sun_pv, config)
+
+    cam_pv = params.camera.proj_view()
+    setup, _zbuf, ibuf = main_pass(world, geom, cam_pv, config)
+    hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
+
+    if config.hdr_half_round:
+        # R16G16B16A16_FLOAT storage rounding (renderer.cpp:128-144).
+        hdr = hdr.astype(jnp.float16).astype(jnp.float32)
+
+    ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
+    return tonemap.to_unorm8(ldr)
+
+
+def make_renderer(config: RenderConfig):
+    """Jit-compiled frame function; scene params/settings stay dynamic."""
+    return jax.jit(functools.partial(render_frame, config=config))

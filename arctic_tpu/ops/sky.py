@@ -1,0 +1,53 @@
+"""Equirectangular environment sampling — shaders/skybox.hlsl as dataflow.
+
+The reference draws a 36-vertex cube with depth pinned to the far plane
+(pos.xyww, skybox.hlsl:68) after the forward pass with LESS_EQUAL so only
+background pixels survive (skybox_pass.cpp:87-89).  The cube's interpolated
+object-space position *is* the world-space view direction, so on TPU we skip
+the cube entirely: compute each pixel's camera ray analytically and sample the
+environment where the visibility buffer is empty — pixel-exact equivalent.
+
+sample_environment matches skybox.hlsl:74-85 including the quirky
+``uv.y = -uv.y`` (sign differs from the dead helper in forward.hlsl:195-206)
+which relies on WRAP addressing to land in range.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arctic_tpu.core import maths
+from arctic_tpu.ops.sampling import sample_bilinear_wrap
+
+Array = jnp.ndarray
+
+INV_ATAN = (0.1591, 0.3183)  # skybox.hlsl:45, kept verbatim
+
+
+def sample_environment(env: Array, direction: Array) -> Array:
+    """skybox.hlsl:74-85: equirect lookup along (..., 3) directions."""
+    d = maths.normalize(direction)
+    u = jnp.arctan2(d[..., 2], d[..., 0]) * INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) * INV_ATAN[1] + 0.5
+    v = -v  # skybox.hlsl:83
+    return sample_bilinear_wrap(env, jnp.stack([u, v], axis=-1))
+
+
+def camera_ray_directions(camera, height: int, width: int) -> Array:
+    """World-space view ray per pixel center, (H, W, 3).
+
+    Equivalent to rasterizing the reference's skybox cube: a cube vertex v
+    satisfies clip = proj_view_no_translation @ v, so the direction that
+    projects onto a pixel is R^T @ [x_ndc * aspect * tan(fov/2),
+    y_ndc * tan(fov/2), -1] with R the camera rotation.
+    """
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    x_ndc, y_ndc = jnp.meshgrid(xs, ys, indexing="xy")
+    t = jnp.tan(jnp.radians(camera.fov_y) * 0.5)
+    dir_view = jnp.stack(
+        [x_ndc * camera.aspect * t, y_ndc * t, -jnp.ones_like(x_ndc)], axis=-1
+    )
+    view = maths.camera_view_matrix(camera.eye, camera.rotation)
+    rot = view[:3, :3]  # rows: right, up, -forward
+    return jnp.einsum("ji,hwj->hwi", rot, dir_view)
