@@ -222,10 +222,10 @@ def sponza_like_scene(columns=14, rng_seed=7):
         plane_mesh(1.0, material=0, uv_scale=12.0),  # 0 floor (scaled per object)
         box_mesh(1.0, 1.0, 1.0, material=1),  # 1 wall segment
         cylinder_mesh(0.45, 5.0, 48, material=2),  # 2 column shaft (high-poly)
-        uv_sphere(1.0, 48, 64, material=4),  # 3 clutter sphere (high-poly)
+        uv_sphere(1.0, 32, 48, material=4),  # 3 clutter sphere
         box_mesh(1.0, 1.0, 0.08, material=3),  # 4 drape
         plane_mesh(1.0, material=5, uv_scale=8.0),  # 5 ceiling
-        uv_sphere(0.5, 96, 128, material=2),  # 6 column capital (dense)
+        uv_sphere(0.5, 48, 64, material=2),  # 6 column capital (dense)
     ]
     objects = []
     objects.append((transform((0, 0, 0), scale=(hall_l, 1, hall_w)), 0))

@@ -100,11 +100,16 @@ def shade(
     shadow_map: Array,
     sun_pv: Array,
     config: RenderConfig,
+    y0=0.0,
 ) -> Array:
-    """Deferred evaluation of forward.hlsl's pixel shader (ps_main, :208-235)."""
+    """Deferred evaluation of forward.hlsl's pixel shader (ps_main, :208-235).
+
+    ``ibuf`` may be a horizontal slice of the frame starting at pixel row
+    ``y0`` (traced ok) for sharded rendering.
+    """
     geom = buffers.geometry
-    h, w = config.height, config.width
-    bary, covered = raster.pixel_barycentrics(setup, ibuf, h, w)
+    h, w = ibuf.shape
+    bary, covered = raster.pixel_barycentrics(setup, ibuf, h, w, y_offset=y0)
 
     # Vertex attribute block: world pos, object-space n/t/b (normalized per
     # vertex like the VS, forward.hlsl:54-56), uv.
@@ -168,7 +173,7 @@ def shade(
     color = lo + params.ambient * base_color  # forward.hlsl:233
 
     # Skybox where no geometry wrote depth (skybox pass semantics).
-    dirs = sky.camera_ray_directions(params.camera, h, w)
+    dirs = sky.camera_ray_directions(params.camera, config.height, w, row0=y0, rows=h)
     background = sky.sample_environment(buffers.environment.data, dirs)
     return jnp.where(covered[..., None], color, background)
 

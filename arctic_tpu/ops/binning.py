@@ -33,6 +33,38 @@ class BinnedPairs(NamedTuple):
     total_pairs: Array  # i32 scalar — actual pairs generated (for overflow checks)
 
 
+class AlignedSegments(NamedTuple):
+    """Per-tile work lists re-laid-out so every segment starts 8-row aligned.
+
+    TPU DMA slices must be full-lane: the kernel's triangle table is stored
+    as (rows/8, 128) f32 (8 logical 16-float rows per lane row), so segment
+    starts are padded to multiples of 8. ``slot`` indexes an (extended) slot
+    table whose last entry is a dead row for the padding."""
+
+    slot: Array  # (cap_aligned,) i32
+    seg_start: Array  # (num_tiles,) i32, 8-aligned row offsets
+    seg_len: Array  # (num_tiles,) i32 true (unpadded) lengths
+
+
+def align_segments(pairs: BinnedPairs, num_tiles: int, dead_slot: int, align: int = 8) -> AlignedSegments:
+    pair_cap = pairs.sorted_slot.shape[0]
+    seg_len = jnp.diff(pairs.tile_start)  # (num_tiles,)
+    padded = (seg_len + (align - 1)) // align * align
+    astart = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)])
+    cap_aligned = pair_cap + align * num_tiles
+    pos = jnp.arange(cap_aligned, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(astart, pos, side="right").astype(jnp.int32) - 1,
+        0,
+        num_tiles - 1,
+    )
+    off = pos - astart[t]
+    ok = off < seg_len[t]
+    src = jnp.clip(pairs.tile_start[t] + off, 0, pair_cap - 1)
+    slot = jnp.where(ok, pairs.sorted_slot[src], dead_slot)
+    return AlignedSegments(slot=slot, seg_start=astart[:-1], seg_len=seg_len)
+
+
 def bin_triangles(
     setup: TriSetup,
     tiles_x: int,
@@ -40,17 +72,30 @@ def bin_triangles(
     tile_w: int,
     tile_h: int,
     pair_capacity: int,
+    tile_row0=0,
 ) -> BinnedPairs:
+    """Bin into the tile window rows [tile_row0, tile_row0 + tiles_y).
+
+    ``tile_row0`` may be traced (device's slice offset under shard_map);
+    tile ids in the output are window-local.
+    """
     num_tiles = tiles_x * tiles_y
     x0, y0, x1, y1 = (setup.bbox[:, i] for i in range(4))
     valid = setup.valid
 
     tx0 = jnp.clip((x0 / tile_w).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip((y0 / tile_h).astype(jnp.int32), 0, tiles_y - 1)
     # bbox is exclusive at x1/y1 in pixel terms; a bbox ending exactly on a
     # tile boundary doesn't cover the next tile's pixel centers.
     tx1 = jnp.clip(((x1 - 1e-3) / tile_w).astype(jnp.int32), 0, tiles_x - 1)
-    ty1 = jnp.clip(((y1 - 1e-3) / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty0 = jnp.maximum((y0 / tile_h).astype(jnp.int32) - tile_row0, 0)
+    ty1 = jnp.minimum(
+        ((y1 - 1e-3) / tile_h).astype(jnp.int32) - tile_row0, tiles_y - 1
+    )
+
+    in_rows = ty1 >= ty0
+    valid = valid & in_rows
+    ty0 = jnp.clip(ty0, 0, tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, tiles_y - 1)
 
     w = jnp.where(valid, tx1 - tx0 + 1, 1)
     h = jnp.where(valid, ty1 - ty0 + 1, 1)
@@ -76,16 +121,20 @@ def bin_triangles(
 
 
 def pack_raster_rows(setup: TriSetup) -> Array:
-    """Per-slot kernel rows (P, 16) f32.
+    """Per-slot kernel rows (P + pad, 16) f32, with one trailing dead row.
 
-    Layout: [A0 B0 C0  A1 B1 C1  A2 B2 C2  Az Bz Cz  slot_bits 0 0 0] where
-    slot_bits is the slot id bitcast to f32 (the kernel writes it to the
-    visibility buffer). 16-wide keeps DMA rows aligned.
+    Layout: [A0 B0 C0  A1 B1 C1  A2 B2 C2  Az Bz Cz  slot_f32 0 0 0] where
+    slot_f32 is the slot id as an exact f32 value (slot counts stay far below
+    2^24; Mosaic has no scalar bitcast, so value-encoding beats bit-punning).
+    Row P is the dead row used for segment-alignment padding; total rows are
+    padded to a multiple of 8 so the table reshapes to (rows/8, 128) for
+    full-lane TPU DMA.
     """
     p = setup.capacity
+    assert p < (1 << 24), "slot ids must be exactly representable in f32"
     e = setup.edges.reshape(p, 9)
-    slot_bits = jax.lax.bitcast_convert_type(
-        jnp.arange(p, dtype=jnp.int32), jnp.float32
-    )[:, None]
+    slot_f = jnp.arange(p, dtype=jnp.float32)[:, None]
     pad = jnp.zeros((p, 3), jnp.float32)
-    return jnp.concatenate([e, setup.zplane, slot_bits, pad], axis=1)
+    rows = jnp.concatenate([e, setup.zplane, slot_f, pad], axis=1)
+    n_pad = (-(p + 1)) % 8 + 1
+    return jnp.pad(rows, ((0, n_pad), (0, 0)))

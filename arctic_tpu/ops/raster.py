@@ -278,14 +278,16 @@ def setup_screen_triangles(
 # --------------------------------------------------------------------------
 
 
-def _pixel_centers(height: int, width: int) -> Tuple[Array, Array]:
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+def _pixel_centers(height: int, width: int, y_offset=0.0) -> Tuple[Array, Array]:
+    """Pixel-center grids; ``y_offset`` (traced ok) shifts rows for sharded
+    rendering where a device owns a horizontal slice of the frame."""
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     return jnp.meshgrid(xs, ys, indexing="xy")  # each (H, W)
 
 
 def rasterize_bruteforce(
-    setup: TriSetup, height: int, width: int, chunk: int = 256
+    setup: TriSetup, height: int, width: int, chunk: int = 256, y_offset=0.0
 ) -> Tuple[Array, Array]:
     """Depth-test every triangle against every pixel, in chunks.
 
@@ -301,7 +303,7 @@ def rasterize_bruteforce(
     zplane = jnp.pad(setup.zplane, ((0, pad), (0, 0)))
     n_chunks = (cap + pad) // chunk
 
-    px, py = _pixel_centers(height, width)
+    px, py = _pixel_centers(height, width, y_offset)
     pix = jnp.stack([px.ravel(), py.ravel(), jnp.ones_like(px).ravel()], axis=1)
 
     edges_c = edges.reshape(n_chunks, chunk, 3, 3)
@@ -324,8 +326,12 @@ def rasterize_bruteforce(
         ibuf = jnp.where(upd, base + k.astype(jnp.int32), ibuf)
         return (zbuf, ibuf), None
 
-    zbuf0 = jnp.ones((height * width,), jnp.float32)
-    ibuf0 = jnp.full((height * width,), -1, jnp.int32)
+    # Seed the carries from y_offset so they inherit its device-varyingness
+    # under shard_map (a replicated carry + varying scan inputs is a vma
+    # type error; this is axis-name agnostic).
+    vary = jnp.asarray(y_offset, jnp.float32) * 0.0
+    zbuf0 = jnp.ones((height * width,), jnp.float32) + vary
+    ibuf0 = jnp.full((height * width,), -1, jnp.int32) + vary.astype(jnp.int32)
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (zbuf, ibuf), _ = jax.lax.scan(body, (zbuf0, ibuf0), (edges_c, zplane_c, bases))
     return zbuf.reshape(height, width), ibuf.reshape(height, width)
@@ -337,7 +343,7 @@ def rasterize_bruteforce(
 
 
 def pixel_barycentrics(
-    setup: TriSetup, ibuf: Array, height: int, width: int
+    setup: TriSetup, ibuf: Array, height: int, width: int, y_offset=0.0
 ) -> Tuple[Array, Array]:
     """Perspective-correct barycentrics over *original* triangle vertices.
 
@@ -353,7 +359,7 @@ def pixel_barycentrics(
     inv_a = setup.inv_area2[slot]  # (H, W)
     cb = setup.corner_bary[slot]  # (H, W, 3, 3)
 
-    px, py = _pixel_centers(height, width)
+    px, py = _pixel_centers(height, width, y_offset)
     ev = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]
     b_screen = ev * inv_a[..., None]  # (H, W, 3) affine barycentrics
     bw = b_screen / w  # perspective weights over clipped corners

@@ -35,7 +35,9 @@ def _interpret() -> bool:
 
 def _raster_kernel(
     # scalar prefetch
-    tile_start_ref,
+    seg_start_ref,
+    seg_len_ref,
+    row0_ref,
     # inputs
     rows_hbm,
     # outputs
@@ -51,25 +53,26 @@ def _raster_kernel(
     chunk: int,
 ):
     t = pl.program_id(0)
-    start = tile_start_ref[t]
-    end = tile_start_ref[t + 1]
-    n = end - start
+    start = seg_start_ref[t]  # 8-aligned row offset into the triangle table
+    n = seg_len_ref[t]
 
     sublanes = tile_h * tile_w // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 0)
     p = sub * 128 + lane  # row-major pixel index within the tile
     tx = t % tiles_x
-    ty = t // tiles_x
+    ty = row0_ref[0] + t // tiles_x  # global tile row (sharded slices)
     px = (tx * tile_w + p % tile_w).astype(jnp.float32) + 0.5
     py = (ty * tile_h + p // tile_w).astype(jnp.float32) + 0.5
 
     zref[0] = jnp.ones((sublanes, 128), jnp.float32)
     iref[0] = jnp.full((sublanes, 128), -1, jnp.int32)
 
+    groups = chunk // 8  # table rows are packed 8 logical rows per 128 lanes
+
     def chunk_dma(c, slot):
         return pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(start + c * chunk, chunk)],
+            rows_hbm.at[pl.ds(start // 8 + c * groups, groups)],
             rows_smem.at[slot],
             sems.at[slot],
         )
@@ -91,7 +94,7 @@ def _raster_kernel(
             m = jnp.minimum(n - c * chunk, chunk)
 
             def tri_body(k, _):
-                r = lambda j: rows_smem[slot, k, j]
+                r = lambda j: rows_smem[slot, k // 8, (k % 8) * 16 + j]
                 e0 = r(0) * px + r(1) * py + r(2)
                 e1 = r(3) * px + r(4) * py + r(5)
                 e2 = r(6) * px + r(7) * py + r(8)
@@ -105,7 +108,7 @@ def _raster_kernel(
                     & (z <= 1.0)
                     & (z < zbuf)
                 )
-                sid = jax.lax.bitcast_convert_type(r(12), jnp.int32)
+                sid = r(12).astype(jnp.int32)  # slot id value-encoded in f32
                 zref[0] = jnp.where(ok, z, zbuf)
                 iref[0] = jnp.where(ok, sid, iref[0])
                 return 0
@@ -132,33 +135,52 @@ def rasterize_tiled(
     config: RenderConfig,
     tile_h: int | None = None,
     tile_w: int | None = None,
+    tile_row0=None,
+    tile_rows: int | None = None,
+    crop: bool = True,
 ) -> Tuple[Array, Array]:
-    """Binned tiled rasterization; drop-in replacement for the brute force."""
+    """Binned tiled rasterization; drop-in replacement for the brute force.
+
+    height/width define the *viewport* (NDC mapping and bbox clamp).  A
+    sharded caller can rasterize only tile rows [tile_row0, tile_row0 +
+    tile_rows) of the frame: tile_row0 may be traced (shard offset),
+    tile_rows must be static. With crop=False the padded tile-aligned
+    buffers are returned (for slice reassembly).
+    """
     th = tile_h or config.tile_h
     tw = tile_w or config.tile_w
     assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
     tiles_x = -(-width // tw)
-    tiles_y = -(-height // th)
-    num_tiles = tiles_x * tiles_y
+    if tile_rows is None:
+        tile_rows = -(-height // th)
+    if tile_row0 is None:
+        tile_row0 = 0
+    num_tiles = tiles_x * tile_rows
     sublanes = th * tw // 128
     chunk = config.raster_chunk
     pair_cap = config.pair_capacity(setup.capacity)
 
-    pairs = binning.bin_triangles(setup, tiles_x, tiles_y, tw, th, pair_cap)
-    rows = binning.pack_raster_rows(setup)[pairs.sorted_slot]  # (pair_cap, 16)
-    # Tail guard: the DMA may read up to `chunk` rows past a segment end.
-    rows = jnp.pad(rows, ((0, chunk), (0, 0)))
+    pairs = binning.bin_triangles(
+        setup, tiles_x, tile_rows, tw, th, pair_cap, tile_row0=tile_row0
+    )
+    table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
+    segs = binning.align_segments(pairs, num_tiles, dead_slot=table.shape[0] - 1)
+    rows = table[segs.slot]  # (cap_aligned, 16)
+    # Tail guard (DMA may read up to `chunk` rows past a segment end), then
+    # pack 8 logical rows per 128-lane row for full-lane TPU DMA slices.
+    rows = jnp.pad(rows, ((0, chunk), (0, 0))).reshape(-1, 128)
+    row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, chunk, 16), jnp.float32),
+            pltpu.SMEM((2, chunk // 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -173,8 +195,11 @@ def rasterize_tiled(
             jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.int32),
         ],
         interpret=_interpret(),
-    )(pairs.tile_start, rows)
+    )(segs.seg_start, segs.seg_len, row0_arr, rows)
 
-    zbuf = _untile(zt, tiles_y, tiles_x, th, tw)[:height, :width]
-    ibuf = _untile(it, tiles_y, tiles_x, th, tw)[:height, :width]
+    zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
+    ibuf = _untile(it, tile_rows, tiles_x, th, tw)
+    if crop:
+        zbuf = zbuf[:height, :width]
+        ibuf = ibuf[:height, :width]
     return zbuf, ibuf

@@ -33,16 +33,21 @@ def sample_environment(env: Array, direction: Array) -> Array:
     return sample_bilinear_wrap(env, jnp.stack([u, v], axis=-1))
 
 
-def camera_ray_directions(camera, height: int, width: int) -> Array:
-    """World-space view ray per pixel center, (H, W, 3).
+def camera_ray_directions(camera, height: int, width: int, row0=0.0, rows=None) -> Array:
+    """World-space view ray per pixel center, (rows, W, 3).
 
     Equivalent to rasterizing the reference's skybox cube: a cube vertex v
     satisfies clip = proj_view_no_translation @ v, so the direction that
     projects onto a pixel is R^T @ [x_ndc * aspect * tan(fov/2),
     y_ndc * tan(fov/2), -1] with R the camera rotation.
+
+    ``height`` is the full viewport height; ``row0``/``rows`` select a
+    horizontal slice for sharded rendering (row0 may be traced).
     """
+    if rows is None:
+        rows = height
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ys = 1.0 - (row0 + jnp.arange(rows, dtype=jnp.float32) + 0.5) / height * 2.0
     x_ndc, y_ndc = jnp.meshgrid(xs, ys, indexing="xy")
     t = jnp.tan(jnp.radians(camera.fov_y) * 0.5)
     dir_view = jnp.stack(
