@@ -71,6 +71,13 @@ def compute_tangents(
     """Per-vertex tangent frame from UV derivatives (aiProcess_CalcTangentSpace
     analogue, app.cpp:180): accumulate per-face tangents, then Gram-Schmidt
     against the vertex normal."""
+    try:
+        from arctic_tpu.io import native
+
+        if native.available():
+            return native.compute_tangents(positions, normals, uvs, indices)
+    except Exception:
+        pass
     i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
     e1 = positions[i1] - positions[i0]
     e2 = positions[i2] - positions[i0]
