@@ -38,8 +38,10 @@ class RenderConfig:
 
     # Capacity of the (tile, triangle) pair buffer as a multiple of the
     # triangle capacity, plus a flat reserve for large-footprint triangles.
-    pairs_per_tri: int = 6
-    pair_reserve: int = 32768
+    # Every binning op scales with this *capacity* (not actual pairs), so it
+    # is deliberately tight; raise it for scenes with huge screen triangles.
+    pairs_per_tri: int = 2
+    pair_reserve: int = 65536
 
     # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):
     # round shaded HDR values to f16 before the post-process pass.

@@ -116,34 +116,40 @@ def pack_atlas(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shelf-pack images into one (AH, AW, 4) array; returns (atlas, locs).
 
-    locs rows are (y, x, h, w). Images must already be float linear RGBA.
+    locs rows are (y, x, h, w): (y, x) is the origin of the *padded* block
+    and (h, w) the logical image size. Every image is stored with a 1-texel
+    wrapped border on all sides so a bilinear footprint is a contiguous
+    (2, 2) window (see ops/sampling.sample_atlas).
+    Images must already be float linear RGBA.
     """
-    order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
-    max_w = max(im.shape[1] for im in images)
+    padded = [np.pad(im, ((1, 1), (1, 1), (0, 0)), mode="wrap") for im in images]
+    order = sorted(range(len(padded)), key=lambda i: -padded[i].shape[0])
+    max_w = max(im.shape[1] for im in padded)
     atlas_w = 1
-    while atlas_w < max_w or atlas_w * atlas_w < sum(im.shape[0] * im.shape[1] for im in images):
+    area = sum(im.shape[0] * im.shape[1] for im in padded)
+    while atlas_w < max_w or atlas_w * atlas_w < area:
         atlas_w *= 2
     shelves: list[list[int]] = []  # [y, height, x_cursor]
     locs = np.zeros((len(images), 4), np.int32)
     y_cursor = 0
     for idx in order:
-        h, w = images[idx].shape[:2]
+        ph, pw = padded[idx].shape[:2]
         placed = False
         for shelf in shelves:
-            if shelf[2] + w <= atlas_w and h <= shelf[1]:
-                locs[idx] = (shelf[0], shelf[2], h, w)
-                shelf[2] += w
+            if shelf[2] + pw <= atlas_w and ph <= shelf[1]:
+                locs[idx] = (shelf[0], shelf[2], ph - 2, pw - 2)
+                shelf[2] += pw
                 placed = True
                 break
         if not placed:
-            shelves.append([y_cursor, h, w])
-            locs[idx] = (y_cursor, 0, h, w)
-            y_cursor += h
+            shelves.append([y_cursor, ph, pw])
+            locs[idx] = (y_cursor, 0, ph - 2, pw - 2)
+            y_cursor += ph
     atlas_h = max(y_cursor, 1)
     atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
-    for idx, im in enumerate(images):
-        y, x, h, w = locs[idx]
-        atlas[y : y + h, x : x + w] = im
+    for idx, im in enumerate(padded):
+        y, x = locs[idx][:2]
+        atlas[y : y + im.shape[0], x : x + im.shape[1]] = im
     return atlas, locs
 
 

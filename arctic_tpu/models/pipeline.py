@@ -91,6 +91,45 @@ def main_pass(
     return setup, zbuf, ibuf
 
 
+def build_shade_table(
+    setup: raster.TriSetup, geom: Geometry, atlas_regions: Array, world: Array
+) -> Array:
+    """Per-slot packed shading rows (P, 128) f32.
+
+    Deferred shading needs ~15 scattered values per pixel (corner attributes,
+    barycentric planes, material regions); gathering them per-pixel costs
+    ~50 scalar gathers — the profiled 4-second hot spot. Instead everything
+    is combined per *slot* once (P << pixels) into one 128-lane row so the
+    per-pixel cost is a single row gather (XLA's fast embedding-lookup path).
+
+    Lanes: [0:9] perspective-bary planes (edge_c * inv_area / w_c — their
+    pixel evaluation IS the unnormalized perspective weight of corner c),
+    [9:51] three 14-float corner attribute blocks (world pos, object-space
+    n/t/b, uv) pre-combined through the near-clip corner barycentrics,
+    [51:63] the material's three atlas regions as exact f32 values.
+    """
+    p = setup.capacity
+    nrm = maths.normalize(geom.normals)
+    tan = maths.normalize(geom.tangents)
+    btn = maths.normalize(geom.bitangents)
+    attrs = jnp.concatenate([world, nrm, tan, btn, geom.uvs], axis=1)  # (V, 14)
+    vidx = geom.indices[setup.orig_tri]  # (P, 3)
+    av = [attrs[vidx[:, i]] for i in range(3)]  # 3 x (P, 14)
+    cb = setup.corner_bary  # (P, 3, 3): [corner, orig_vertex]
+    corner_attr = [
+        cb[:, c, 0, None] * av[0] + cb[:, c, 1, None] * av[1] + cb[:, c, 2, None] * av[2]
+        for c in range(3)
+    ]
+    ebw = [
+        setup.edges[:, c, :] * (setup.inv_area2 / setup.w[:, c])[:, None]
+        for c in range(3)
+    ]
+    regions = atlas_regions[geom.tri_material[setup.orig_tri]]  # (P, 3, 4)
+    parts = ebw + corner_attr + [regions.reshape(p, 12).astype(jnp.float32)]
+    parts.append(jnp.zeros((p, 128 - 63), jnp.float32))
+    return jnp.concatenate(parts, axis=1)
+
+
 def shade(
     buffers: SceneBuffers,
     params: SceneParams,
@@ -109,20 +148,29 @@ def shade(
     """
     geom = buffers.geometry
     h, w = ibuf.shape
-    bary, covered = raster.pixel_barycentrics(setup, ibuf, h, w, y_offset=y0)
-
-    # Vertex attribute block: world pos, object-space n/t/b (normalized per
-    # vertex like the VS, forward.hlsl:54-56), uv.
-    nrm = maths.normalize(geom.normals)
-    tan = maths.normalize(geom.tangents)
-    btn = maths.normalize(geom.bitangents)
-    attrs = jnp.concatenate([world, nrm, tan, btn, geom.uvs], axis=1)  # (V, 14)
-    a = raster.interpolate(setup, ibuf, geom.indices, attrs, bary)  # (H, W, 14)
-    wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
+    table = build_shade_table(setup, geom, buffers.atlas.regions, world)
 
     slot = jnp.maximum(ibuf, 0)
-    mat_id = geom.tri_material[setup.orig_tri[slot]]  # (H, W)
-    regions = buffers.atlas.regions[mat_id]  # (H, W, 3, 4)
+    covered = ibuf >= 0
+    row = table[slot]  # (H, W, 128) — the one gather per pixel
+    px, py = raster._pixel_centers(h, w, y0)
+
+    # Perspective-correct barycentrics over the clipped corners.
+    bw = [
+        row[..., 3 * c] * px + row[..., 3 * c + 1] * py + row[..., 3 * c + 2]
+        for c in range(3)
+    ]
+    den = bw[0] + bw[1] + bw[2]
+    den = jnp.where(den == 0, 1.0, den)
+    b = [x / den for x in bw]
+    a = (
+        b[0][..., None] * row[..., 9:23]
+        + b[1][..., None] * row[..., 23:37]
+        + b[2][..., None] * row[..., 37:51]
+    )
+    wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
+    regions = row[..., 51:63].reshape(h, w, 3, 4)
+
     diffuse = sample_atlas(buffers.atlas.data, regions[..., 0, :], uv)
     base_color = diffuse[..., :3]  # sRGB-decoded at atlas build
     nm = sample_atlas(buffers.atlas.data, regions[..., 1, :], uv)[..., :3]

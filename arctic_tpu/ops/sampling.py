@@ -18,6 +18,7 @@ hardware decodes *before* filtering — pre-decoding texels is equivalent).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -65,27 +66,36 @@ def sample_bilinear_wrap(tex: Array, uv: Array) -> Array:
 def sample_atlas(atlas: Array, region: Array, uv: Array) -> Array:
     """Sample an atlas sub-texture bilinearly with per-texture WRAP.
 
-    atlas: (AH, AW, C); region: (..., 4) i32 rows (y, x, h, w); uv: (..., 2).
+    atlas: (AH, AW, C) where every packed image carries a 1-texel *wrapped*
+    border (pack_atlas); region: (..., 4) rows (y, x, h, w) with (y, x) the
+    padded block origin and (h, w) the logical size; uv: (..., 2).
+
+    The border makes every bilinear footprint a contiguous (2, 2) window, so
+    the fetch lowers to ONE sliced gather instead of 4 scalar gathers per
+    tap — the difference between XLA's fast and slow gather paths on TPU.
+    Wrap addressing is exact for arbitrary uv: the first texel index is
+    taken mod the logical size and the border supplies its +1 neighbour.
     """
-    ah, aw, c = atlas.shape
-    ry = region[..., 0]
-    rx = region[..., 1]
-    rh = region[..., 2]
-    rw = region[..., 3]
+    ry = region[..., 0].astype(jnp.int32)
+    rx = region[..., 1].astype(jnp.int32)
+    rh = region[..., 2].astype(jnp.int32)
+    rw = region[..., 3].astype(jnp.int32)
     t_x = uv[..., 0] * rw - 0.5
     t_y = uv[..., 1] * rh - 0.5
     ix0 = jnp.floor(t_x).astype(jnp.int32)
     iy0 = jnp.floor(t_y).astype(jnp.int32)
-    fx = t_x - ix0
-    fy = t_y - iy0
-    # Wrap each tap inside its own region, then offset into the atlas.
-    iy0w = ry + iy0 % rh
-    iy1w = ry + (iy0 + 1) % rh
-    ix0w = rx + ix0 % rw
-    ix1w = rx + (ix0 + 1) % rw
-    return _bilinear_gather(
-        atlas.reshape(ah * aw, c).astype(jnp.float32), aw, iy0w, ix0w, iy1w, ix1w, fy, fx, c
-    )
+    fx = (t_x - ix0)[..., None]
+    fy = (t_y - iy0)[..., None]
+    ys = ry + iy0 % rh + 1  # +1: skip the top/left border row
+    xs = rx + ix0 % rw + 1
+    starts = jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(atlas, (s[0], s[1], 0), (2, 2, atlas.shape[2]))
+    )(starts).astype(jnp.float32)
+    win = win.reshape(uv.shape[:-1] + (2, 2, atlas.shape[2]))
+    top = win[..., 0, 0, :] + (win[..., 0, 1, :] - win[..., 0, 0, :]) * fx
+    bot = win[..., 1, 0, :] + (win[..., 1, 1, :] - win[..., 1, 0, :]) * fx
+    return top + (bot - top) * fy
 
 
 def srgb_to_linear(c: Array) -> Array:

@@ -18,6 +18,7 @@ bit-equivalent to 25 independent SampleLevel calls.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -46,45 +47,49 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     step = PCF_UV_STEP * s  # texels between adjacent taps
 
     # 4x4 window that contains all 25 bilinear taps (valid while step <= 0.5).
+    # The map is padded by 2 wrapped texels per side so the window is one
+    # contiguous (4, 4) sliced gather (fast path) with exact WRAP semantics.
     wx = jnp.floor(tx).astype(jnp.int32) - 1
     wy = jnp.floor(ty).astype(jnp.int32) - 1
-    offs = jnp.arange(4, dtype=jnp.int32)
-    rows = (wy[..., None] + offs) % s  # (..., 4)
-    cols = (wx[..., None] + offs) % s
-    flat = rows[..., :, None] * s + cols[..., None, :]  # (..., 4, 4)
-    window = shadow_map.reshape(-1)[flat]  # (..., 4, 4)
+    padded = jnp.pad(shadow_map, 2, mode="wrap")
+    starts = jnp.stack([wy + 2, wx + 2], axis=-1).reshape(-1, 2)
+    window = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(padded, (st[0], st[1]), (4, 4))
+    )(starts).reshape(tx.shape + (4, 4))
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)
+
+    # Window rows/cols are selected with exact 3-way selects (tap texel
+    # indices can only be 0..2 while |offset| <= 0.8 texels + bilinear),
+    # keeping the lerp arithmetic bit-identical to SampleLevel and avoiding
+    # data-dependent gathers entirely.
+    rows = [window[..., r, :] for r in range(4)]  # each (..., 4)
+
+    def sel3(i, a, b, c):
+        return jnp.where((i == 0)[..., None], a, jnp.where((i == 1)[..., None], b, c))
+
+    def col(row4, i, off):
+        cols = [row4[..., c] for c in range(4)]
+        return jnp.where(
+            i == 0, cols[0 + off], jnp.where(i == 1, cols[1 + off], cols[2 + off])
+        )
+
     shadow = jnp.zeros_like(tx)
     for j in range(-2, 3):  # y offset
         sy = ly + j * step
         iy = jnp.floor(sy).astype(jnp.int32)
         fy = sy - iy
+        row0 = sel3(iy, rows[0], rows[1], rows[2])
+        row1 = sel3(iy, rows[1], rows[2], rows[3])
         for i in range(-2, 3):  # x offset
             sx = lx + i * step
             ix = jnp.floor(sx).astype(jnp.int32)
             fx = sx - ix
-            c00 = jnp.take_along_axis(
-                window.reshape(*window.shape[:-2], 16),
-                (iy * 4 + ix)[..., None],
-                axis=-1,
-            )[..., 0]
-            c10 = jnp.take_along_axis(
-                window.reshape(*window.shape[:-2], 16),
-                (iy * 4 + ix + 1)[..., None],
-                axis=-1,
-            )[..., 0]
-            c01 = jnp.take_along_axis(
-                window.reshape(*window.shape[:-2], 16),
-                ((iy + 1) * 4 + ix)[..., None],
-                axis=-1,
-            )[..., 0]
-            c11 = jnp.take_along_axis(
-                window.reshape(*window.shape[:-2], 16),
-                ((iy + 1) * 4 + ix + 1)[..., None],
-                axis=-1,
-            )[..., 0]
+            c00 = col(row0, ix, 0)
+            c10 = col(row0, ix, 1)
+            c01 = col(row1, ix, 0)
+            c11 = col(row1, ix, 1)
             top = c00 + (c10 - c00) * fx
             bot = c01 + (c11 - c01) * fx
             closest = top + (bot - top) * fy

@@ -97,10 +97,13 @@ def test_bilinear_sample_basics():
 
 
 def test_atlas_region_sampling_matches_whole_texture(rng):
+    from arctic_tpu.io.build import pack_atlas
+
     tex = rng.uniform(0, 1, (8, 16, 4)).astype(np.float32)
-    atlas = np.zeros((32, 32, 4), np.float32)
-    atlas[4:12, 10:26] = tex
-    region = jnp.asarray([4, 10, 8, 16], jnp.int32)
+    other = rng.uniform(0, 1, (4, 4, 4)).astype(np.float32)
+    atlas, locs = pack_atlas([other, tex])
+    region = jnp.asarray(locs[1], jnp.int32)
+    assert tuple(locs[1][2:]) == (8, 16)
     uvs = rng.uniform(-1.5, 2.5, (50, 2)).astype(np.float32)  # exercises wrap
     got = sampling.sample_atlas(jnp.asarray(atlas), region, jnp.asarray(uvs))
     want = sampling.sample_bilinear_wrap(jnp.asarray(tex), jnp.asarray(uvs))
