@@ -1,0 +1,150 @@
+"""CLI renderer — `arctic <scene>` (main.cpp:18-22) grown up for headless TPU.
+
+Examples:
+    python -m arctic_tpu.app.cli render scene.gltf --out frame.png
+    python -m arctic_tpu.app.cli render --procedural sponza --width 1920 \
+        --height 1080 --tm aces --frames 60 --orbit
+    python -m arctic_tpu.app.cli render scene.obj --camera 0,5,0,0,0
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+import numpy as np
+
+log = logging.getLogger("arctic")
+
+TM_NAMES = {"reinhard": 0, "exposure": 1, "aces": 2}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="arctic_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("render", help="render one frame or an orbit sequence")
+    r.add_argument("scene", nargs="?", help="glTF/GLB/OBJ scene path")
+    r.add_argument("--procedural", choices=["cornell", "sponza"], help="use a built-in scene")
+    r.add_argument("--out", default="frame.png")
+    r.add_argument("--width", type=int, default=1280)  # app.hpp:20
+    r.add_argument("--height", type=int, default=720)  # app.hpp:21
+    r.add_argument("--shadow-size", type=int, default=4000)  # shadow_map_pass.hpp:23
+    r.add_argument("--tm", choices=list(TM_NAMES), default="reinhard")
+    r.add_argument("--gamma", type=float, default=2.2)
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--camera", help="x,y,z,pitch,yaw (default 0,5,0,0,0)")
+    r.add_argument("--env", help="equirect .hdr environment path")
+    r.add_argument("--frames", type=int, default=1, help="number of frames to render")
+    r.add_argument("--orbit", action="store_true", help="sweep yaw over the frames")
+    r.add_argument("--bruteforce", action="store_true", help="disable the binned rasterizer")
+    r.add_argument("--devices", type=int, default=0, help="render across N devices (0 = single)")
+    r.add_argument("--stats", action="store_true", help="print frame-time stats")
+    return p
+
+
+def cmd_render(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from arctic_tpu.core.config import RenderConfig
+    from arctic_tpu.core.scene import default_scene_params, default_settings
+    from arctic_tpu.io.build import build_buffers
+    from arctic_tpu.io.images import load_hdr, save_png
+    from arctic_tpu.models import pipeline
+    from arctic_tpu.utils.profiling import FrameStats
+
+    if args.procedural:
+        from arctic_tpu.io import procedural
+
+        if args.procedural == "cornell":
+            meshes, objects, materials, env = procedural.cornell_like_scene()
+        else:
+            meshes, objects, materials, env = procedural.sponza_like_scene()
+        if args.env:
+            env = load_hdr(args.env)
+    elif args.scene:
+        from arctic_tpu.io.load import load_scene_file
+
+        meshes, objects, materials, env = load_scene_file(args.scene, env_path=args.env)
+    else:
+        log.error("render: need a scene path or --procedural")
+        return 2
+
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        shadow_size=args.shadow_size,
+        force_bruteforce=args.bruteforce,
+    )
+    buffers = build_buffers(meshes, objects, materials, env)
+    log.info(
+        "scene: %d tris, %d objects, backend=%s",
+        int(buffers.geometry.num_tris),
+        buffers.geometry.object_trs.shape[0],
+        jax.default_backend(),
+    )
+
+    params = default_scene_params(aspect=args.width / args.height)
+    if args.camera:
+        vals = [float(v) for v in args.camera.split(",")]
+        params = dataclasses.replace(
+            params,
+            camera=dataclasses.replace(
+                params.camera,
+                eye=jnp.asarray(vals[:3], jnp.float32),
+                rotation=jnp.asarray(vals[3:5], jnp.float32),
+            ),
+        )
+    settings = dataclasses.replace(
+        default_settings(),
+        tm_method=jnp.int32(TM_NAMES[args.tm]),
+        gamma=jnp.float32(args.gamma),
+        exposure=jnp.float32(args.exposure),
+    )
+
+    if args.devices:
+        from arctic_tpu.parallel import sharding
+
+        mesh = sharding.make_mesh(args.devices)
+        render = sharding.make_sharded_renderer(config, mesh)
+    else:
+        render = pipeline.make_renderer(config)
+
+    stats = FrameStats()
+    img = None
+    for i in range(args.frames):
+        p = params
+        if args.orbit and args.frames > 1:
+            rot = np.asarray(params.camera.rotation) + np.asarray(
+                [0.0, 360.0 * i / args.frames], np.float32
+            )
+            p = dataclasses.replace(
+                params, camera=dataclasses.replace(params.camera, rotation=jnp.asarray(rot))
+            )
+        stats.tick()
+        img = render(buffers, p, settings)
+        img.block_until_ready()
+        if args.frames > 1:
+            out_i = args.out.replace(".png", f"_{i:04d}.png") if args.frames > 1 else args.out
+            save_png(out_i, np.asarray(img))
+    stats.tick()
+    if args.frames == 1:
+        save_png(args.out, np.asarray(img))
+    log.info("wrote %s", args.out)
+    if args.stats:
+        print(stats.summary())
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    args = build_parser().parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
