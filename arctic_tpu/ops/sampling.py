@@ -88,13 +88,15 @@ def sample_atlas(atlas: Array, region: Array, uv: Array) -> Array:
     fy = (t_y - iy0)[..., None]
     ys = ry + iy0 % rh + 1  # +1: skip the top/left border row
     xs = rx + ix0 % rw + 1
-    starts = jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(atlas, (s[0], s[1], 0), (2, 2, atlas.shape[2]))
-    )(starts).astype(jnp.float32)
-    win = win.reshape(uv.shape[:-1] + (2, 2, atlas.shape[2]))
-    top = win[..., 0, 0, :] + (win[..., 0, 1, :] - win[..., 0, 0, :]) * fx
-    bot = win[..., 1, 0, :] + (win[..., 1, 1, :] - win[..., 1, 0, :]) * fx
+    ah, aw, ch = atlas.shape
+    flat = atlas.reshape(ah * aw, ch)
+    base = ys * aw + xs
+    c00 = flat[base].astype(jnp.float32)
+    c10 = flat[base + 1].astype(jnp.float32)
+    c01 = flat[base + aw].astype(jnp.float32)
+    c11 = flat[base + aw + 1].astype(jnp.float32)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy
 
 

@@ -52,10 +52,11 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     wx = jnp.floor(tx).astype(jnp.int32) - 1
     wy = jnp.floor(ty).astype(jnp.int32) - 1
     padded = jnp.pad(shadow_map, 2, mode="wrap")
-    starts = jnp.stack([wy + 2, wx + 2], axis=-1).reshape(-1, 2)
-    window = jax.vmap(
-        lambda st: jax.lax.dynamic_slice(padded, (st[0], st[1]), (4, 4))
-    )(starts).reshape(tx.shape + (4, 4))
+    sp = s + 4
+    base = jnp.clip(wy + 2, 0, s) * sp + jnp.clip(wx + 2, 0, s)
+    offs = ((jnp.arange(4) * sp)[:, None] + jnp.arange(4)[None, :]).reshape(-1)
+    window = padded.reshape(-1)[base[..., None] + offs]
+    window = window.reshape(tx.shape + (4, 4))
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)
