@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--bruteforce", action="store_true", help="disable the binned rasterizer")
     r.add_argument("--devices", type=int, default=0, help="render across N devices (0 = single)")
     r.add_argument("--stats", action="store_true", help="print frame-time stats")
+    r.add_argument("--raytrace", action="store_true", help="BVH ray-traced reference mode")
+    r.add_argument("--load-state", help="load camera/lights/settings JSON")
+    r.add_argument("--save-state", help="write camera/lights/settings JSON after rendering")
+    r.add_argument("--debug-checks", action="store_true", help="enable NaN/Inf checking")
     return p
 
 
@@ -86,7 +90,22 @@ def cmd_render(args) -> int:
         jax.default_backend(),
     )
 
+    if args.debug_checks:
+        from arctic_tpu.utils.errors import enable_debug_checks
+
+        enable_debug_checks()
+
     params = default_scene_params(aspect=args.width / args.height)
+    if args.load_state:
+        from arctic_tpu.utils.serialize import load_state
+
+        params, loaded_settings = load_state(args.load_state)
+        params = dataclasses.replace(
+            params,
+            camera=dataclasses.replace(
+                params.camera, aspect=jnp.float32(args.width / args.height)
+            ),
+        )
     if args.camera:
         vals = [float(v) for v in args.camera.split(",")]
         params = dataclasses.replace(
@@ -104,7 +123,12 @@ def cmd_render(args) -> int:
         exposure=jnp.float32(args.exposure),
     )
 
-    if args.devices:
+    if args.raytrace:
+        from arctic_tpu.models import raytrace
+
+        bvh = raytrace.build_scene_bvh(buffers)
+        render = raytrace.make_rt_renderer(config, bvh)
+    elif args.devices:
         from arctic_tpu.parallel import sharding
 
         mesh = sharding.make_mesh(args.devices)
@@ -133,6 +157,11 @@ def cmd_render(args) -> int:
     if args.frames == 1:
         save_png(args.out, np.asarray(img))
     log.info("wrote %s", args.out)
+    if args.save_state:
+        from arctic_tpu.utils.serialize import save_state
+
+        save_state(args.save_state, params, settings)
+        log.info("saved state to %s", args.save_state)
     if args.stats:
         print(stats.summary())
     return 0
