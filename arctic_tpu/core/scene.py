@@ -175,7 +175,13 @@ class TextureAtlas:
     """
 
     data: jnp.ndarray  # (AH, AW, 4) texel data (bf16 or f32), linear
+    quads: jnp.ndarray  # (4*BH*BW, 16) parity-shifted 2x2 quad copies
     regions: jnp.ndarray  # (M, 3, 4) i32: per material x slot -> (y, x, h, w)
+
+    @property
+    def block_grid(self):
+        ah, aw = self.data.shape[:2]
+        return ah // 2 + 1, aw // 2 + 1
 
 
 @_pytree_dataclass

@@ -145,12 +145,37 @@ def pack_atlas(
             shelves.append([y_cursor, ph, pw])
             locs[idx] = (y_cursor, 0, ph - 2, pw - 2)
             y_cursor += ph
-    atlas_h = max(y_cursor, 1)
+    atlas_h = max((y_cursor + 1) // 2 * 2, 2)
     atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
     for idx, im in enumerate(padded):
         y, x = locs[idx][:2]
         atlas[y : y + im.shape[0], x : x + im.shape[1]] = im
     return atlas, locs
+
+
+def pack_atlas_quads(atlas: np.ndarray) -> np.ndarray:
+    """Four parity-shifted 2x2-texel-quad copies of the atlas.
+
+    quads[(y0%2)*2 + x0%2] at block (y0//2, x0//2) holds the four texels
+    (y0..y0+1, x0..x0+1) as 16 contiguous channels, so any bilinear footprint
+    is ONE row gather (see ops/sampling.sample_atlas). Returned flattened as
+    (4*BH*BW, 16); block grid dims derive from the atlas shape.
+    """
+    ah, aw, c = atlas.shape
+    assert c == 4 and ah % 2 == 0 and aw % 2 == 0
+    p = np.pad(atlas, ((0, 3), (0, 3), (0, 0)))
+    bh, bw = ah // 2 + 1, aw // 2 + 1
+    copies = []
+    for sy in range(2):
+        for sx in range(2):
+            sub = p[sy : sy + bh * 2, sx : sx + bw * 2]
+            q = (
+                sub.reshape(bh, 2, bw, 2, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(bh, bw, 16)
+            )
+            copies.append(q)
+    return np.stack(copies).reshape(4 * bh * bw, 16)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -219,7 +244,9 @@ def build_buffers(
     atlas_np, locs = pack_atlas(images)
     regions = locs.reshape(len(materials), 3, 4)
     atlas = TextureAtlas(
-        data=jnp.asarray(atlas_np, atlas_dtype), regions=jnp.asarray(regions)
+        data=jnp.asarray(atlas_np, atlas_dtype),
+        quads=jnp.asarray(pack_atlas_quads(atlas_np), atlas_dtype),
+        regions=jnp.asarray(regions),
     )
 
     env = Environment(data=jnp.asarray(environment, jnp.float32))

@@ -171,10 +171,10 @@ def shade(
     wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
     regions = row[..., 51:63].reshape(h, w, 3, 4)
 
-    diffuse = sample_atlas(buffers.atlas.data, regions[..., 0, :], uv)
+    diffuse = sample_atlas(buffers.atlas, regions[..., 0, :], uv)
     base_color = diffuse[..., :3]  # sRGB-decoded at atlas build
-    nm = sample_atlas(buffers.atlas.data, regions[..., 1, :], uv)[..., :3]
-    mr = sample_atlas(buffers.atlas.data, regions[..., 2, :], uv)
+    nm = sample_atlas(buffers.atlas, regions[..., 1, :], uv)[..., :3]
+    mr = sample_atlas(buffers.atlas, regions[..., 2, :], uv)
 
     # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
     nm = nm.at[..., 1].set(1.0 - nm[..., 1])

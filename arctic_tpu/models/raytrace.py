@@ -67,10 +67,10 @@ def render_frame_rt(
     wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
 
     regions = buffers.atlas.regions[geom.tri_material[tri]]  # (H, W, 3, 4)
-    diffuse = sample_atlas(buffers.atlas.data, regions[..., 0, :], uv)
+    diffuse = sample_atlas(buffers.atlas, regions[..., 0, :], uv)
     base_color = diffuse[..., :3]
-    nm = sample_atlas(buffers.atlas.data, regions[..., 1, :], uv)[..., :3]
-    mr = sample_atlas(buffers.atlas.data, regions[..., 2, :], uv)
+    nm = sample_atlas(buffers.atlas, regions[..., 1, :], uv)[..., :3]
+    mr = sample_atlas(buffers.atlas, regions[..., 2, :], uv)
 
     nm = nm.at[..., 1].set(1.0 - nm[..., 1])
     nm = nm * 2.0 - 1.0

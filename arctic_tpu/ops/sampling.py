@@ -63,18 +63,17 @@ def sample_bilinear_wrap(tex: Array, uv: Array) -> Array:
     return out
 
 
-def sample_atlas(atlas: Array, region: Array, uv: Array) -> Array:
+def sample_atlas(atlas, region: Array, uv: Array) -> Array:
     """Sample an atlas sub-texture bilinearly with per-texture WRAP.
 
-    atlas: (AH, AW, C) where every packed image carries a 1-texel *wrapped*
-    border (pack_atlas); region: (..., 4) rows (y, x, h, w) with (y, x) the
-    padded block origin and (h, w) the logical size; uv: (..., 2).
-
-    The border makes every bilinear footprint a contiguous (2, 2) window, so
-    the fetch lowers to ONE sliced gather instead of 4 scalar gathers per
-    tap — the difference between XLA's fast and slow gather paths on TPU.
-    Wrap addressing is exact for arbitrary uv: the first texel index is
-    taken mod the logical size and the border supplies its +1 neighbour.
+    ``atlas`` is a TextureAtlas: images are packed with a 1-texel *wrapped*
+    border (pack_atlas) and the quad table holds four parity-shifted copies
+    of every 2x2 texel block, so one bilinear footprint = ONE 16-channel row
+    gather — the difference between XLA's fast embedding-lookup path and 4
+    scalar gathers per tap. region rows are (y, x, h, w) with (y, x) the
+    padded block origin and (h, w) the logical size; wrap addressing is
+    exact for arbitrary uv (first texel index mod the logical size; the
+    border supplies the +1 neighbour).
     """
     ry = region[..., 0].astype(jnp.int32)
     rx = region[..., 1].astype(jnp.int32)
@@ -88,13 +87,14 @@ def sample_atlas(atlas: Array, region: Array, uv: Array) -> Array:
     fy = (t_y - iy0)[..., None]
     ys = ry + iy0 % rh + 1  # +1: skip the top/left border row
     xs = rx + ix0 % rw + 1
-    ah, aw, ch = atlas.shape
-    flat = atlas.reshape(ah * aw, ch)
-    base = ys * aw + xs
-    c00 = flat[base].astype(jnp.float32)
-    c10 = flat[base + 1].astype(jnp.float32)
-    c01 = flat[base + aw].astype(jnp.float32)
-    c11 = flat[base + aw + 1].astype(jnp.float32)
+    bh, bw = atlas.block_grid
+    copy = (ys % 2) * 2 + xs % 2
+    q = (copy * bh + ys // 2) * bw + xs // 2
+    win = atlas.quads[q].astype(jnp.float32)  # (..., 16)
+    c00 = win[..., 0:4]
+    c10 = win[..., 4:8]
+    c01 = win[..., 8:12]
+    c11 = win[..., 12:16]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy

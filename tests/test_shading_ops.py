@@ -97,15 +97,21 @@ def test_bilinear_sample_basics():
 
 
 def test_atlas_region_sampling_matches_whole_texture(rng):
-    from arctic_tpu.io.build import pack_atlas
+    from arctic_tpu.core.scene import TextureAtlas
+    from arctic_tpu.io.build import pack_atlas, pack_atlas_quads
 
     tex = rng.uniform(0, 1, (8, 16, 4)).astype(np.float32)
     other = rng.uniform(0, 1, (4, 4, 4)).astype(np.float32)
-    atlas, locs = pack_atlas([other, tex])
+    data, locs = pack_atlas([other, tex])
+    atlas = TextureAtlas(
+        data=jnp.asarray(data),
+        quads=jnp.asarray(pack_atlas_quads(data)),
+        regions=jnp.asarray(locs.reshape(1, 2, 4)[:, :3]),
+    )
     region = jnp.asarray(locs[1], jnp.int32)
     assert tuple(locs[1][2:]) == (8, 16)
     uvs = rng.uniform(-1.5, 2.5, (50, 2)).astype(np.float32)  # exercises wrap
-    got = sampling.sample_atlas(jnp.asarray(atlas), region, jnp.asarray(uvs))
+    got = sampling.sample_atlas(atlas, region, jnp.asarray(uvs))
     want = sampling.sample_bilinear_wrap(jnp.asarray(tex), jnp.asarray(uvs))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
