@@ -1,0 +1,57 @@
+"""Viewer: serve a frame over HTTP and drive the camera via query params."""
+
+import http.client
+import threading
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from arctic_tpu.app import viewer
+from arctic_tpu.core.config import RenderConfig
+from arctic_tpu.core.scene import default_scene_params, default_settings
+from arctic_tpu.io.build import build_buffers
+from arctic_tpu.io.procedural import cornell_like_scene
+from arctic_tpu.models import pipeline
+
+
+def test_viewer_serves_frames_and_moves_camera():
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64, force_bruteforce=True)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    state = viewer.ViewerState(
+        buffers,
+        default_scene_params(aspect=W / H),
+        default_settings(),
+        config,
+        pipeline.make_renderer(config),
+    )
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), viewer.make_handler(state))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/")
+        page = conn.getresponse()
+        assert page.status == 200 and b"arctic_tpu viewer" in page.read()
+
+        eye0 = np.asarray(state.params.camera.eye).copy()
+        conn.request("GET", "/frame?f=1&dx=20&dy=0&ambient=0.2&gamma=2.2&exposure=1&tm=2")
+        frame = conn.getresponse()
+        assert frame.status == 200
+        png = frame.read()
+        assert png[:4] == b"\x89PNG"
+        # Camera moved forward and yawed; settings applied.
+        assert not np.allclose(np.asarray(state.params.camera.eye), eye0)
+        assert float(state.params.camera.rotation[1]) != 0.0
+        assert int(state.settings.tm_method) == 2
+
+        conn.request("GET", "/state")
+        st = conn.getresponse()
+        assert st.status == 200 and b"camera" in st.read()
+    finally:
+        server.shutdown()

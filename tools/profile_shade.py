@@ -94,7 +94,7 @@ def main():
             + sample_atlas(atlas, regions[..., 2, :], uv)
         )
 
-    t = timeit(tex3, bufs.atlas.data, regions, uv)
+    t = timeit(tex3, bufs.atlas, regions, uv)
     print(f"3x atlas tap:  {t*1e3:9.2f} ms", flush=True)
 
     @jax.jit
