@@ -26,6 +26,10 @@ class RenderConfig:
     # Shadow map (ShadowMapPass::SIZE = 4000, shadow_map_pass.hpp:23).
     shadow_size: int = 4000
 
+    # Tile edge for the shadow pass (results are tile-size invariant; bigger
+    # tiles amortize per-tile kernel overhead over the 4000^2 target).
+    shadow_tile: int = 64
+
     # Screen tile shape for the binned rasterizer. Tiles are flattened
     # row-major into (tile_h*tile_w/128, 128) VMEM blocks, so tile_h*tile_w
     # must be a multiple of 128; 32x32 balances pair count (squarer tiles bin

@@ -56,12 +56,20 @@ def to_clip(world: Array, proj_view: Array) -> Array:
     return jnp.matmul(wh, proj_view.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def _rasterize(setup: raster.TriSetup, height: int, width: int, config: RenderConfig):
+def _rasterize(
+    setup: raster.TriSetup,
+    height: int,
+    width: int,
+    config: RenderConfig,
+    tile: int | None = None,
+):
     if config.force_bruteforce:
         return raster.rasterize_bruteforce(setup, height, width, config.raster_chunk)
     from arctic_tpu.ops import raster_tiles
 
-    return raster_tiles.rasterize_tiled(setup, height, width, config)
+    return raster_tiles.rasterize_tiled(
+        setup, height, width, config, tile_h=tile, tile_w=tile
+    )
 
 
 def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfig) -> Array:
@@ -75,7 +83,7 @@ def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfi
     clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
     s = config.shadow_size
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
-    zbuf, _ = _rasterize(setup, s, s, config)
+    zbuf, _ = _rasterize(setup, s, s, config, tile=config.shadow_tile)
     return zbuf
 
 

@@ -53,25 +53,31 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     wy = jnp.floor(ty).astype(jnp.int32) - 1
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     sp = s + 4
-    # 16 shift copies pack every possible 4x4 window as one 16-lane row, so
-    # the per-pixel fetch is ONE row gather instead of 16 scalar gathers
-    # (~4x faster measured; the copies are built per frame from the fresh
-    # shadow map with reshapes/transposes, ~2 GB of streaming traffic).
-    sq = (sp + 3 + 3) // 4
-    padded2 = jnp.pad(padded, ((0, sq * 4 + 3 - sp), (0, sq * 4 + 3 - sp)))
-    copies = []
-    for sy in range(4):
+    # Pack every aligned 4-texel x-run into one 16-byte row, for all 16
+    # (row-class k = y%4, x-shift sx = x%4) combinations. Built with strided
+    # slices + contiguous reshapes only — XLA defers transposes to consumers,
+    # which made a fully-interleaved 4x4 LUT cost ~170 ms/frame; these
+    # slices stream at bandwidth. The window fetch is then 4 row gathers.
+    yq = (sp + 3 + 3) // 4
+    xq = (sp + 3 + 3) // 4
+    padded2 = jnp.pad(padded, ((0, yq * 4 - sp), (0, xq * 4 + 3 - sp)))
+    classes = []
+    for k in range(4):
         for sx in range(4):
-            sub = padded2[sy : sy + sq * 4, sx : sx + sq * 4]
-            copies.append(
-                sub.reshape(sq, 4, sq, 4).transpose(0, 2, 1, 3).reshape(sq, sq, 16)
+            classes.append(
+                padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4)
             )
-    lut = jnp.stack(copies).reshape(16 * sq * sq, 16)
+    runs = jnp.stack(classes).reshape(16 * yq * xq, 4)
     start_y = jnp.clip(wy + 2, 0, s)
     start_x = jnp.clip(wx + 2, 0, s)
-    copy = (start_y % 4) * 4 + start_x % 4
-    q = (copy * sq + start_y // 4) * sq + start_x // 4
-    window = lut[q].reshape(tx.shape + (4, 4))
+    sx_c = start_x % 4
+    qx = start_x // 4
+    rows = []
+    for r in range(4):
+        y = start_y + r
+        idx = (((y % 4) * 4 + sx_c) * yq + y // 4) * xq + qx
+        rows.append(runs[idx])  # (..., 4)
+    window = jnp.stack(rows, axis=-2)  # (..., 4, 4)
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)

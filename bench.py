@@ -67,11 +67,26 @@ def main() -> None:
     img = render(bufs, params, settings)
     img.block_until_ready()  # compile + first frame
 
+    # Fly the camera down the hall: every timed frame has distinct inputs
+    # (no backend-side result reuse possible; matches real usage).
+    def frame_params(i):
+        return dataclasses.replace(
+            params,
+            camera=dataclasses.replace(
+                params.camera,
+                eye=jnp.asarray([-14.0 + 0.25 * i, 4.5, 0.0]),
+                rotation=jnp.asarray([-8.0, 0.3 * i]),
+            ),
+        )
+
     n_frames = 20
+    frames = [frame_params(i) for i in range(n_frames)]
+    render(bufs, frames[0], settings).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        img = render(bufs, params, settings)
-    img.block_until_ready()
+    for p in frames:
+        img = render(bufs, p, settings)
+    np.asarray(img[:1, :1])  # hard device->host sync (block_until_ready can
+    # acknowledge early through the remote-TPU tunnel)
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt
 

@@ -17,14 +17,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    # block_until_ready can acknowledge early through the remote-TPU tunnel;
+    # a tiny device->host copy is a hard sync.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0:1])
+
+
 def timeit(fn, *args, n=5, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n, out
 
 
