@@ -220,12 +220,14 @@ def shade(
         dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         radiance = lcol[None, None, :] / (dist * dist)[..., None]
-        contrib = lit * pbr.outgoing_radiance(
+        return acc + lit * pbr.outgoing_radiance(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
-        return acc + jnp.where(i < params.point_lights.count, contrib, 0.0)
 
-    lo = jax.lax.fori_loop(0, MAX_POINT_LIGHTS, light_body, lo)
+    # Dynamic trip count like ps_main's `i < point_lights.len` loop
+    # (forward.hlsl:224): inactive light slots cost nothing.
+    count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
+    lo = jax.lax.fori_loop(0, count, light_body, lo)
     color = lo + params.ambient * base_color  # forward.hlsl:233
 
     # Skybox where no geometry wrote depth (skybox pass semantics).

@@ -99,12 +99,12 @@ def render_frame_rt(
         dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         radiance = lcol[None, None, :] / (dist * dist)[..., None]
-        contrib = lit * pbr.outgoing_radiance(
+        return acc + lit * pbr.outgoing_radiance(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
-        return acc + jnp.where(i < params.point_lights.count, contrib, 0.0)
 
-    lo = jax.lax.fori_loop(0, MAX_POINT_LIGHTS, light_body, lo)
+    count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
+    lo = jax.lax.fori_loop(0, count, light_body, lo)
     color = lo + params.ambient * base_color
 
     background = sky.sample_environment(
