@@ -200,6 +200,37 @@ def cornell_like_scene():
     return meshes, objects, materials, env
 
 
+def helmet_like_scene():
+    """Single detailed hero object (SciFi/FlightHelmet-class): a dense
+    normal-mapped, partly-metallic sphere cluster on a small stand —
+    BASELINE configs[0]/[1] stand-in."""
+    materials = [
+        MaterialImages(
+            checker_texture(128, 6, (120, 130, 150), (60, 62, 70)),
+            bumpy_normal_texture(128, 12, 0.5),
+            mr_texture(0.9, 0.35),
+        ),
+        MaterialImages(
+            solid_texture((90, 60, 40), 8),
+            bumpy_normal_texture(64, 6, 0.2),
+            mr_texture(0.0, 0.7),
+        ),
+        MaterialImages(checker_texture(64, 8), bumpy_normal_texture(16, 2, 0.0), mr_texture(0.0, 0.9)),
+    ]
+    meshes = [
+        uv_sphere(1.0, 48, 64, material=0),  # the "helmet"
+        cylinder_mesh(1.2, 0.3, 32, material=1),  # stand
+        plane_mesh(12.0, material=2, uv_scale=3.0),
+    ]
+    objects = [
+        (transform((0.0, 1.6, -4.0)), 0),
+        (transform((0.0, 0.0, -4.0)), 1),
+        (transform((0.0, 0.0, -4.0)), 2),
+    ]
+    env = gradient_environment(128, 256)
+    return meshes, objects, materials, env
+
+
 def sponza_like_scene(columns=14, rng_seed=7):
     """Benchmark scene with Sponza-scale structure (~0.26M triangles).
 

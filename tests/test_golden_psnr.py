@@ -36,6 +36,39 @@ def scene():
     return cornell_like_scene()
 
 
+def test_psnr_helmet_config(rng):
+    """BASELINE configs[1] analogue: hero object, shadowed sun, exposure
+    tonemap — exercises dense normal-mapped metallic shading vs the oracle."""
+    from arctic_tpu.io.procedural import helmet_like_scene
+
+    meshes, objects, materials, env = helmet_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=1024)
+    config = RenderConfig(width=W, height=H, shadow_size=SHADOW, force_bruteforce=True)
+    cam = dict(eye=[0.0, 2.2, 0.5], rotation=[-8.0, -90.0], aspect=W / H,
+               fov_y=45.0, z_near=0.1, z_far=1000.0)
+    sun = dict(position=[-10.0, 32.0, -2.48], rotation=[-70.0, 12.0], color=[8.0, 8.0, 8.0])
+    setd = dict(tm_method=1, gamma=2.2, exposure=1.0)
+
+    p = default_scene_params(aspect=W / H)
+    p = dataclasses.replace(
+        p,
+        camera=dataclasses.replace(
+            p.camera, eye=jnp.asarray(cam["eye"]), rotation=jnp.asarray(cam["rotation"])
+        ),
+        point_lights=PointLights.from_list([]),
+    )
+    s = dataclasses.replace(default_settings(), tm_method=jnp.int32(1))
+    img_tpu = np.asarray(pipeline.render_frame(bufs, p, s, config))
+
+    tris, mats = golden.golden_scene(meshes, objects, materials)
+    img_gold = golden.render(
+        tris, mats, env.astype(np.float64), cam, sun, [],
+        ambient=0.1, settings=setd, width=W, height=H, shadow_size=SHADOW,
+    )
+    db = psnr(img_tpu, img_gold)
+    assert db >= 40.0, f"helmet config PSNR {db:.2f} dB < 40 dB"
+
+
 @pytest.mark.parametrize("tm_method", [0, 1, 2])
 def test_psnr_vs_golden(scene, tm_method):
     meshes, objects, materials, env = scene
