@@ -94,16 +94,28 @@ def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> 
     nout = jnp.where(tri_valid, _CLIP_NOUT[code], 0)
 
     # Rotate vertices so inside ones come first (cyclic: winding preserved).
-    ridx = (jnp.arange(3)[None, :] + rot[:, None]) % 3  # (T, 3)
-    vr = jnp.take_along_axis(v, ridx[:, :, None], axis=1)  # (T, 3, 4)
-    zr = vr[..., 2]
-    # Identity barycentric rows, permuted with the vertices.
-    eye = jnp.eye(3, dtype=jnp.float32)
-    br = eye[ridx]  # (T, 3, 3): row c = one-hot of original vertex index
+    # Branch-free 3-way selects: the obvious take_along_axis gathers cost
+    # ~60 ms/frame on TPU, selects are plain VPU ops.
+    eye3 = jnp.eye(3, dtype=jnp.float32)
 
-    a, b, c = vr[:, 0], vr[:, 1], vr[:, 2]
-    ba, bb, bc = br[:, 0], br[:, 1], br[:, 2]
-    za, zb, zc = zr[:, 0], zr[:, 1], zr[:, 2]
+    def pick(cidx):
+        i = (cidx + rot) % 3
+        m0 = (i == 0)[:, None]
+        m1 = (i == 1)[:, None]
+        vert = jnp.where(m0, v[:, 0], jnp.where(m1, v[:, 1], v[:, 2]))
+        bary = jnp.where(
+            m0,
+            jnp.broadcast_to(eye3[0], (tcount, 3)),
+            jnp.where(
+                m1,
+                jnp.broadcast_to(eye3[1], (tcount, 3)),
+                jnp.broadcast_to(eye3[2], (tcount, 3)),
+            ),
+        )
+        return vert, bary
+
+    (a, ba), (b, bb), (c, bc) = pick(0), pick(1), pick(2)
+    za, zb, zc = a[:, 2], b[:, 2], c[:, 2]
 
     def lerp(p, q, t):
         return p + t[:, None] * (q - p)
@@ -128,15 +140,23 @@ def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> 
 
     is_all_in = (code == 7)[:, None, None]
     is_one_in = ((code == 1) | (code == 2) | (code == 4))[:, None, None]
+    vr = jnp.stack([a, b, c], axis=1)
+    br = jnp.stack([ba, bb, bc], axis=1)
     out0 = jnp.where(is_all_in, vr, jnp.where(is_one_in, one_tri, two_tri0))
     bary0 = jnp.where(is_all_in, br, jnp.where(is_one_in, one_bary, two_bary0))
     out1, bary1 = two_tri1, two_bary1
 
-    slot_tri = jnp.stack([out0, out1], axis=1).reshape(2 * tcount, 3, 4)
-    slot_bary = jnp.stack([bary0, bary1], axis=1).reshape(2 * tcount, 3, 3)
-    valid = jnp.stack([nout >= 1, nout >= 2], axis=1).reshape(2 * tcount)
-    orig = jnp.repeat(jnp.arange(tcount, dtype=jnp.int32), 2, total_repeat_length=2 * tcount)
-    return ClippedTris(clip=slot_tri, corner_bary=slot_bary, orig_tri=orig, valid=valid)
+    # Slot layout: [all primary outputs; all secondary outputs] — a concat,
+    # not an interleave (interleaving is a transpose XLA pays for at every
+    # consumer). Secondary clip halves therefore sort after all primaries in
+    # draw order; only exactly-coplanar clipped geometry could notice.
+    ar = jnp.arange(tcount, dtype=jnp.int32)
+    return ClippedTris(
+        clip=jnp.concatenate([out0, out1], axis=0),
+        corner_bary=jnp.concatenate([bary0, bary1], axis=0),
+        orig_tri=jnp.concatenate([ar, ar]),
+        valid=jnp.concatenate([nout >= 1, nout >= 2]),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -63,11 +63,13 @@ def test_depth_order_and_tie_break():
     # Far drawn first, near second: near must win everywhere.
     setup, _ = make_setup(np.concatenate([far, near]), W, H, cull="none")
     _, ibuf = raster.rasterize_bruteforce(setup, H, W)
-    assert np.all(np.asarray(ibuf) == 2)  # slot 2 = second triangle, slot 0
+    tri = np.asarray(setup.orig_tri)[np.asarray(ibuf)]
+    assert np.all(tri == 1)  # second (near) triangle wins
     # Equal depth: first-drawn wins (depth func LESS, forward_pass default).
     setup, _ = make_setup(np.concatenate([far, far]), W, H, cull="none")
     _, ibuf = raster.rasterize_bruteforce(setup, H, W)
-    assert np.all(np.asarray(ibuf) == 0)
+    tri = np.asarray(setup.orig_tri)[np.asarray(ibuf)]
+    assert np.all(tri == 0)
 
 
 def test_culling_conventions():
