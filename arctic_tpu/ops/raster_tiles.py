@@ -138,6 +138,7 @@ def rasterize_tiled(
     tile_row0=None,
     tile_rows: int | None = None,
     crop: bool = True,
+    vma: tuple = (),
 ) -> Tuple[Array, Array]:
     """Binned tiled rasterization; drop-in replacement for the brute force.
 
@@ -191,8 +192,10 @@ def rasterize_tiled(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.int32),
+            # vma: varying mesh axes when called inside shard_map (each
+            # device rasterizes its own tile slab).
+            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.float32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.int32, vma=frozenset(vma)),
         ],
         interpret=_interpret(),
     )(segs.seg_start, segs.seg_len, row0_arr, rows)

@@ -62,6 +62,7 @@ def _rasterize_slab(setup, viewport_h, viewport_w, config, row0_tiles, tile_rows
         tile_row0=row0_tiles,
         tile_rows=tile_rows,
         crop=False,
+        vma=(AXIS,),
     )
     return zb[:, :viewport_w], ib[:, :viewport_w]
 
@@ -72,6 +73,7 @@ def render_frame_sharded(
     settings: Settings,
     config: RenderConfig,
     mesh: Mesh,
+    check_vma: bool = True,
 ) -> Array:
     """Full frame over every device in ``mesh``; returns (H, W, 3) u8,
     row-sharded across the mesh axis."""
@@ -118,17 +120,23 @@ def render_frame_sharded(
         ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
         return tonemap.to_unorm8(ldr)
 
+    # check_vma=False is needed for the Pallas-tiled path in interpret mode
+    # (jax 0.9's pallas interpreter mixes varying/unvarying internally);
+    # correctness either way is covered by the sharded-vs-single tests.
     fn = jax.shard_map(
         device_frame,
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(AXIS),
+        check_vma=check_vma,
     )
     img = fn(buffers, params, settings)  # (cam_tile_rows * th, W, 3) row-sharded
     return img[:h]
 
 
-def make_sharded_renderer(config: RenderConfig, mesh: Mesh):
+def make_sharded_renderer(config: RenderConfig, mesh: Mesh, check_vma: bool = True):
     return jax.jit(
-        functools.partial(render_frame_sharded, config=config, mesh=mesh)
+        functools.partial(
+            render_frame_sharded, config=config, mesh=mesh, check_vma=check_vma
+        )
     )

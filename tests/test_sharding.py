@@ -14,6 +14,32 @@ from arctic_tpu.models import pipeline
 from arctic_tpu.parallel import sharding
 
 
+def test_sharded_tiled_raster_matches_single_chip():
+    """The binned Pallas path (interpret mode on CPU) under shard_map."""
+    W, H = 128, 64
+    config = RenderConfig(width=W, height=H, shadow_size=64, force_bruteforce=False)
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = default_scene_params(aspect=W / H)
+    p = dataclasses.replace(
+        p,
+        camera=dataclasses.replace(
+            p.camera, eye=jnp.asarray([0.0, 4.0, 3.0]), rotation=jnp.asarray([-25.0, -90.0])
+        ),
+    )
+    single = np.asarray(pipeline.render_frame(bufs, p, default_settings(), config))
+    mesh = sharding.make_mesh(2)
+    # check_vma=False: the pallas interpreter can't type mixed-vma internals
+    # (jax 0.9); the assembled output is still verified against single-chip.
+    multi = np.asarray(
+        sharding.render_frame_sharded(
+            bufs, p, default_settings(), config, mesh, check_vma=False
+        )
+    )
+    diff = np.abs(multi.astype(int) - single.astype(int))
+    assert (diff > 1).mean() < 1e-3
+
+
 def test_sharded_matches_single_chip():
     assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
     W, H = 128, 96
