@@ -46,6 +46,7 @@ def render_frame_rt(
     settings: Settings,
     config: RenderConfig,
 ) -> Array:
+    """Full ray-traced frame -> (H, W, 3) uint8."""
     geom = buffers.geometry
     h, w = config.height, config.width
     eye = params.camera.eye
@@ -118,4 +119,8 @@ def render_frame_rt(
 
 
 def make_rt_renderer(config: RenderConfig, bvh: rt.BVH):
-    return jax.jit(functools.partial(render_frame_rt, bvh=bvh, config=config))
+    @jax.jit
+    def render(buffers, params, settings):
+        return render_frame_rt(buffers, bvh, params, settings, config)
+
+    return render
