@@ -55,6 +55,10 @@ class RenderConfig:
     # the binned pipeline. Only sane for tiny frames/tests.
     force_bruteforce: bool = False
 
+    # Print a device-side warning when the (tile, triangle) pair buffer
+    # overflows (overflowing pairs are dropped -> missing fragments).
+    debug_overflow: bool = False
+
     # --- derived ---
     @property
     def padded_width(self) -> int:

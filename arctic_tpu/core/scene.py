@@ -186,9 +186,14 @@ class TextureAtlas:
 
 @_pytree_dataclass
 class Environment:
-    """Equirectangular HDR environment map (renderer.cpp:111-126)."""
+    """Equirectangular HDR environment map (renderer.cpp:111-126).
+
+    ``atlas`` is a single-region quad-packed copy for one-gather bilinear
+    sampling (f32 — HDR radiance keeps full precision); ``data`` remains for
+    simple/CPU paths."""
 
     data: jnp.ndarray  # (H, W, 3) f32, linear radiance
+    atlas: TextureAtlas | None = None
 
 
 @_pytree_dataclass

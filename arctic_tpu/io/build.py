@@ -249,5 +249,15 @@ def build_buffers(
         regions=jnp.asarray(regions),
     )
 
-    env = Environment(data=jnp.asarray(environment, jnp.float32))
+    env_np = np.asarray(environment, np.float32)
+    env_rgba = np.concatenate(
+        [env_np, np.ones((*env_np.shape[:2], 1), np.float32)], axis=-1
+    )
+    env_data, env_locs = pack_atlas([env_rgba])
+    env_atlas = TextureAtlas(
+        data=jnp.asarray(env_data, jnp.float32),
+        quads=jnp.asarray(pack_atlas_quads(env_data), jnp.float32),
+        regions=jnp.asarray(env_locs.reshape(1, 1, 4)),
+    )
+    env = Environment(data=jnp.asarray(env_np), atlas=env_atlas)
     return SceneBuffers(geometry=geometry, atlas=atlas, environment=env)

@@ -35,7 +35,7 @@ from arctic_tpu.core.scene import (
     Settings,
 )
 from arctic_tpu.ops import pbr, raster, shadow, sky, tonemap
-from arctic_tpu.ops.sampling import sample_atlas
+from arctic_tpu.ops.sampling import sample_atlas_multi
 
 Array = jnp.ndarray
 
@@ -179,10 +179,10 @@ def shade(
     wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
     regions = row[..., 51:63].reshape(h, w, 3, 4)
 
-    diffuse = sample_atlas(buffers.atlas, regions[..., 0, :], uv)
-    base_color = diffuse[..., :3]  # sRGB-decoded at atlas build
-    nm = sample_atlas(buffers.atlas, regions[..., 1, :], uv)[..., :3]
-    mr = sample_atlas(buffers.atlas, regions[..., 2, :], uv)
+    tex = sample_atlas_multi(buffers.atlas, regions, uv)  # one batched gather
+    base_color = tex[..., 0, :3]  # sRGB-decoded at atlas build
+    nm = tex[..., 1, :3]
+    mr = tex[..., 2, :]
 
     # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
     nm = nm.at[..., 1].set(1.0 - nm[..., 1])
@@ -232,7 +232,7 @@ def shade(
 
     # Skybox where no geometry wrote depth (skybox pass semantics).
     dirs = sky.camera_ray_directions(params.camera, config.height, w, row0=y0, rows=h)
-    background = sky.sample_environment(buffers.environment.data, dirs)
+    background = sky.sample_environment(buffers.environment, dirs)
     return jnp.where(covered[..., None], color, background)
 
 

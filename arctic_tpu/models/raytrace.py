@@ -24,7 +24,7 @@ from arctic_tpu.core.config import RenderConfig
 from arctic_tpu.core.scene import MAX_POINT_LIGHTS, SceneBuffers, SceneParams, Settings
 from arctic_tpu.models import pipeline
 from arctic_tpu.ops import pbr, rt, sky, tonemap
-from arctic_tpu.ops.sampling import sample_atlas
+from arctic_tpu.ops.sampling import sample_atlas_multi
 
 Array = jnp.ndarray
 
@@ -68,10 +68,10 @@ def render_frame_rt(
     wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
 
     regions = buffers.atlas.regions[geom.tri_material[tri]]  # (H, W, 3, 4)
-    diffuse = sample_atlas(buffers.atlas, regions[..., 0, :], uv)
-    base_color = diffuse[..., :3]
-    nm = sample_atlas(buffers.atlas, regions[..., 1, :], uv)[..., :3]
-    mr = sample_atlas(buffers.atlas, regions[..., 2, :], uv)
+    tex = sample_atlas_multi(buffers.atlas, regions, uv)  # one batched gather
+    base_color = tex[..., 0, :3]
+    nm = tex[..., 1, :3]
+    mr = tex[..., 2, :]
 
     nm = nm.at[..., 1].set(1.0 - nm[..., 1])
     nm = nm * 2.0 - 1.0
@@ -109,7 +109,7 @@ def render_frame_rt(
     color = lo + params.ambient * base_color
 
     background = sky.sample_environment(
-        buffers.environment.data, dirs.reshape(h, w, 3)
+        buffers.environment, dirs.reshape(h, w, 3)
     )
     hdr = jnp.where(covered[..., None], color, background)
     if config.hdr_half_round:

@@ -164,6 +164,12 @@ def rasterize_tiled(
     pairs = binning.bin_triangles(
         setup, tiles_x, tile_rows, tw, th, pair_cap, tile_row0=tile_row0
     )
+    if config.debug_overflow:
+        jax.debug.print(
+            "raster: {}/{} tile-triangle pairs (overflow drops fragments)",
+            pairs.total_pairs,
+            pair_cap,
+        )
     table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
     segs = binning.align_segments(pairs, num_tiles, dead_slot=table.shape[0] - 1)
     rows = table[segs.slot]  # (cap_aligned, 16)

@@ -100,6 +100,33 @@ def sample_atlas(atlas, region: Array, uv: Array) -> Array:
     return top + (bot - top) * fy
 
 
+def sample_atlas_multi(atlas, regions: Array, uv: Array) -> Array:
+    """Sample N sub-textures at the same uv in ONE batched quad gather.
+
+    regions: (..., N, 4); returns (..., N, 4) RGBA — used for the material's
+    diffuse/normal/metal-roughness trio (one gather op instead of three).
+    """
+    ry = regions[..., 0].astype(jnp.int32)
+    rx = regions[..., 1].astype(jnp.int32)
+    rh = regions[..., 2].astype(jnp.int32)
+    rw = regions[..., 3].astype(jnp.int32)
+    t_x = uv[..., 0, None] * rw - 0.5
+    t_y = uv[..., 1, None] * rh - 0.5
+    ix0 = jnp.floor(t_x).astype(jnp.int32)
+    iy0 = jnp.floor(t_y).astype(jnp.int32)
+    fx = (t_x - ix0)[..., None]
+    fy = (t_y - iy0)[..., None]
+    ys = ry + iy0 % rh + 1
+    xs = rx + ix0 % rw + 1
+    bh, bw = atlas.block_grid
+    copy = (ys % 2) * 2 + xs % 2
+    q = (copy * bh + ys // 2) * bw + xs // 2  # (..., N)
+    win = atlas.quads[q].astype(jnp.float32)  # (..., N, 16)
+    top = win[..., 0:4] + (win[..., 4:8] - win[..., 0:4]) * fx
+    bot = win[..., 8:12] + (win[..., 12:16] - win[..., 8:12]) * fx
+    return top + (bot - top) * fy
+
+
 def srgb_to_linear(c: Array) -> Array:
     """IEC sRGB EOTF, the decode D3D applies to _SRGB formats."""
     c = jnp.asarray(c, jnp.float32)

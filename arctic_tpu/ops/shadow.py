@@ -72,12 +72,9 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     start_x = jnp.clip(wx + 2, 0, s)
     sx_c = start_x % 4
     qx = start_x // 4
-    rows = []
-    for r in range(4):
-        y = start_y + r
-        idx = (((y % 4) * 4 + sx_c) * yq + y // 4) * xq + qx
-        rows.append(runs[idx])  # (..., 4)
-    window = jnp.stack(rows, axis=-2)  # (..., 4, 4)
+    y = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
+    idx = (((y % 4) * 4 + sx_c[..., None]) * yq + y // 4) * xq + qx[..., None]
+    window = runs[idx]  # one batched gather -> (..., 4, 4)
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)

@@ -24,13 +24,24 @@ Array = jnp.ndarray
 INV_ATAN = (0.1591, 0.3183)  # skybox.hlsl:45, kept verbatim
 
 
-def sample_environment(env: Array, direction: Array) -> Array:
-    """skybox.hlsl:74-85: equirect lookup along (..., 3) directions."""
+def sample_environment(env, direction: Array) -> Array:
+    """skybox.hlsl:74-85: equirect lookup along (..., 3) directions.
+
+    ``env`` is either a raw (H, W, 3) array (simple path) or a
+    core.scene.Environment whose quad-packed atlas makes the bilinear tap a
+    single gather."""
     d = maths.normalize(direction)
     u = jnp.arctan2(d[..., 2], d[..., 0]) * INV_ATAN[0] + 0.5
     v = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) * INV_ATAN[1] + 0.5
     v = -v  # skybox.hlsl:83
-    return sample_bilinear_wrap(env, jnp.stack([u, v], axis=-1))
+    uv = jnp.stack([u, v], axis=-1)
+    atlas = getattr(env, "atlas", None)
+    if atlas is not None:
+        from arctic_tpu.ops.sampling import sample_atlas
+
+        return sample_atlas(atlas, atlas.regions[0, 0], uv)[..., :3]
+    data = getattr(env, "data", env)
+    return sample_bilinear_wrap(data, uv)
 
 
 def camera_ray_directions(camera, height: int, width: int, row0=0.0, rows=None) -> Array:
