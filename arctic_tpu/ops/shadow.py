@@ -18,12 +18,97 @@ bit-equivalent to 25 independent SampleLevel calls.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
 PCF_UV_STEP = 0.0001  # forward.hlsl:88
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _select_mats() -> jnp.ndarray:
+    """(4, 128, 512) 0/1 selection matrices: S[r, 4w+cc, 16w+4r+cc] = 1.
+
+    A (Xb, 128) @ (128, 512) matmul with S[r] scatters each 128-column
+    source block's texels into its 32 windows' 16-lane rows at row-slot r —
+    a lane interleave done on the MXU. Each output lane receives exactly ONE
+    input, so the result is bit-exact even through the multi-pass f32 matmul
+    (a 24-bit mantissa splits exactly into three bf16 passes; x*1 and the
+    non-overlapping adds are exact)."""
+    import numpy as np
+
+    s = np.zeros((4, 128, 512), np.float32)
+    for r in range(4):
+        for w in range(32):
+            for cc in range(4):
+                s[r, 4 * w + cc, 16 * w + 4 * r + cc] = 1.0
+    return jnp.asarray(s)
+
+
+def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sem, *, xb: int):
+    sy = pl.program_id(0)
+    sx = pl.program_id(1)
+    qy = pl.program_id(2)
+    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(4 * qy + sy, 4)], slab, sem)
+    copy.start()
+    copy.wait()
+    acc = jnp.zeros((xb, 512), jnp.float32)
+    for r in range(4):
+        acc = acc + jax.lax.dot_general(
+            slab[r],
+            smat_ref[r],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[0, 0, 0] = acc
+
+
+def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
+    """All 4x4 windows of the (wrap-padded) shadow map as 16-lane rows.
+
+    Returns (lut (N, 16) f32, sq, xb): the window starting at padded coords
+    (y, x) lives at row (((y%4)*4 + x%4)*sq + y//4) * (xb*32) + x//4, laid
+    out [r*4+cc]. Built by a Pallas kernel at streaming bandwidth (XLA's
+    transpose-based construction costs ~170 ms/frame).
+    """
+    s = shadow_map.shape[0]
+    sp = s + 4
+    padded = jnp.pad(shadow_map, 2, mode="wrap")
+    xb = -(-(sp + 3) // 128)  # 128-column source blocks
+    yp = _round_up(sp + 3, 4)
+    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 3 - sp)))
+    # Four x-shifted contiguous views, 128 cols per MXU source block.
+    in4 = jnp.stack(
+        [padded2[:, sx : sx + xb * 128].reshape(yp, xb, 128) for sx in range(4)]
+    )
+    sq = s // 4 + 1
+
+    lut = pl.pallas_call(
+        functools.partial(_lut_kernel, xb=xb),
+        grid=(4, 4, sq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, 128, 512), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, xb, 512), lambda sy, sx, qy: (sy, sx, qy, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, 4, sq, xb, 512), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, xb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(in4, _select_mats())
+    return lut.reshape(4 * 4 * sq * xb * 32, 16), sq, xb
 
 
 def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
@@ -51,25 +136,24 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     # contiguous (4, 4) sliced gather (fast path) with exact WRAP semantics.
     wx = jnp.floor(tx).astype(jnp.int32) - 1
     wy = jnp.floor(ty).astype(jnp.int32) - 1
+    start_y = jnp.clip(wy + 2, 0, s)  # padded-coords window origin
+    start_x = jnp.clip(wx + 2, 0, s)
+
+    # Aligned 4-texel x-runs for all 16 (y%4, x%4) shift classes via strided
+    # slices (streaming-bandwidth build), one batched gather for the 4 window
+    # rows. Measured equal to the Pallas one-row-per-window LUT
+    # (build_window_lut, kept as a utility) — the gather is latency-bound
+    # either way, ~100 ms for 2M windows at 1080p on v5e.
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     sp = s + 4
-    # Pack every aligned 4-texel x-run into one 16-byte row, for all 16
-    # (row-class k = y%4, x-shift sx = x%4) combinations. Built with strided
-    # slices + contiguous reshapes only — XLA defers transposes to consumers,
-    # which made a fully-interleaved 4x4 LUT cost ~170 ms/frame; these
-    # slices stream at bandwidth. The window fetch is then 4 row gathers.
     yq = (sp + 3 + 3) // 4
     xq = (sp + 3 + 3) // 4
     padded2 = jnp.pad(padded, ((0, yq * 4 - sp), (0, xq * 4 + 3 - sp)))
     classes = []
     for k in range(4):
         for sx in range(4):
-            classes.append(
-                padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4)
-            )
+            classes.append(padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4))
     runs = jnp.stack(classes).reshape(16 * yq * xq, 4)
-    start_y = jnp.clip(wy + 2, 0, s)
-    start_x = jnp.clip(wx + 2, 0, s)
     sx_c = start_x % 4
     qx = start_x // 4
     y = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows

@@ -1,0 +1,21 @@
+"""The Pallas window LUT must reproduce every 4x4 shadow window exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from arctic_tpu.ops import shadow
+
+
+def test_window_lut_exact(rng):
+    s = 64
+    smap = rng.uniform(0.1, 0.9, (s, s)).astype(np.float32)
+    lut, sq, xb = shadow.build_window_lut(jnp.asarray(smap))
+    lut = np.asarray(lut)
+    padded = np.pad(smap, 2, mode="wrap")
+    # Check a spread of window origins, including borders and odd phases.
+    for y in [0, 1, 2, 3, 5, 17, s - 1, s]:
+        for x in [0, 1, 2, 3, 8, 33, s - 1, s]:
+            idx = (((y % 4) * 4 + x % 4) * sq + y // 4) * (xb * 32) + x // 4
+            got = lut[idx].reshape(4, 4)
+            want = padded[y : y + 4, x : x + 4]
+            np.testing.assert_array_equal(got, want, err_msg=f"window ({y},{x})")
