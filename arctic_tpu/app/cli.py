@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--tm", choices=list(TM_NAMES), default="reinhard")
     r.add_argument("--gamma", type=float, default=2.2)
     r.add_argument("--exposure", type=float, default=1.0)
-    r.add_argument("--camera", help="x,y,z,pitch,yaw (default 0,5,0,0,0)")
+    r.add_argument(
+        "--camera",
+        help="x,y,z,pitch,yaw (default 0,5,0,0,0); use --camera=-14,4,0,-8,0 "
+        "for values starting with a minus sign",
+    )
     r.add_argument("--env", help="equirect .hdr environment path")
     r.add_argument("--frames", type=int, default=1, help="number of frames to render")
     r.add_argument("--orbit", action="store_true", help="sweep yaw over the frames")
