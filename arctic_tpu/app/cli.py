@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--load-state", help="load camera/lights/settings JSON")
     r.add_argument("--save-state", help="write camera/lights/settings JSON after rendering")
     r.add_argument("--debug-checks", action="store_true", help="enable NaN/Inf checking")
+    r.add_argument(
+        "--config",
+        help="JSON file overriding RenderConfig fields (tile sizes, pair "
+        "capacity, hdr rounding, ... — the jit specialization knobs)",
+    )
     return p
 
 
@@ -80,11 +85,18 @@ def cmd_render(args) -> int:
         log.error("render: need a scene path or --procedural")
         return 2
 
+    overrides = {}
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            overrides = json.load(f)
     config = RenderConfig(
         width=args.width,
         height=args.height,
         shadow_size=args.shadow_size,
         force_bruteforce=args.bruteforce,
+        **overrides,
     )
     buffers = build_buffers(meshes, objects, materials, env)
     log.info(
