@@ -177,6 +177,17 @@ class TextureAtlas:
     data: jnp.ndarray  # (AH, AW, 4) texel data (bf16 or f32), linear
     quads: jnp.ndarray  # (4*BH*BW, 16) parity-shifted 2x2 quad copies
     regions: jnp.ndarray  # (M, 3, 4) i32: per material x slot -> (y, x, h, w)
+    # Per-material constant-texture values (normal / metal-roughness slots);
+    # meaningful where the static flags below are True.
+    nm_consts: jnp.ndarray = None  # (M, 4) f32
+    mr_consts: jnp.ndarray = None  # (M, 4) f32
+    # Static jit-specialization flags: when every material's normal (resp.
+    # metal-roughness) texture is constant, its per-pixel sample IS the
+    # constant (bilinear of equal texels is exact), so the gather can be
+    # elided — gathers cost ~14 ns/row on TPU, ~28 ms per texture per frame
+    # at 1080p.
+    nm_constant: bool = static_field(default=False)
+    mr_constant: bool = static_field(default=False)
 
     @property
     def block_grid(self):

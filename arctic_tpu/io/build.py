@@ -235,18 +235,41 @@ def build_buffers(
 
     # Atlas: 3 slots per material; diffuse sRGB-decoded, rest linear.
     images = []
-    for mat in materials:
+    nm_consts = np.zeros((len(materials), 4), np.float32)
+    mr_consts = np.zeros((len(materials), 4), np.float32)
+    nm_constant = True
+    mr_constant = True
+
+    def _const(img):
+        f = img.astype(np.float32) / 255.0
+        return f[0, 0] if (img == img.reshape(-1, img.shape[-1])[0]).all() else None
+
+    for mi, mat in enumerate(materials):
         d = mat.diffuse.astype(np.float32) / 255.0
         d[..., :3] = srgb_to_linear_np(d[..., :3])
         images.append(d)
         images.append(mat.normal.astype(np.float32) / 255.0)
         images.append(mat.metal_roughness.astype(np.float32) / 255.0)
+        c = _const(mat.normal)
+        if c is None:
+            nm_constant = False
+        else:
+            nm_consts[mi] = c
+        c = _const(mat.metal_roughness)
+        if c is None:
+            mr_constant = False
+        else:
+            mr_consts[mi] = c
     atlas_np, locs = pack_atlas(images)
     regions = locs.reshape(len(materials), 3, 4)
     atlas = TextureAtlas(
         data=jnp.asarray(atlas_np, atlas_dtype),
         quads=jnp.asarray(pack_atlas_quads(atlas_np), atlas_dtype),
         regions=jnp.asarray(regions),
+        nm_consts=jnp.asarray(nm_consts),
+        mr_consts=jnp.asarray(mr_consts),
+        nm_constant=nm_constant,
+        mr_constant=mr_constant,
     )
 
     env_np = np.asarray(environment, np.float32)

@@ -100,7 +100,7 @@ def main_pass(
 
 
 def build_shade_table(
-    setup: raster.TriSetup, geom: Geometry, atlas_regions: Array, world: Array
+    setup: raster.TriSetup, geom: Geometry, atlas, world: Array
 ) -> Array:
     """Per-slot packed shading rows (P, 128) f32.
 
@@ -114,7 +114,9 @@ def build_shade_table(
     pixel evaluation IS the unnormalized perspective weight of corner c),
     [9:51] three 14-float corner attribute blocks (world pos, object-space
     n/t/b, uv) pre-combined through the near-clip corner barycentrics,
-    [51:63] the material's three atlas regions as exact f32 values.
+    [51:63] the material's three atlas regions as exact f32 values,
+    [63:67] / [67:71] the material's constant metal-roughness / normal
+    values (used when the static atlas flags elide those texture gathers).
     """
     p = setup.capacity
     nrm = maths.normalize(geom.normals)
@@ -132,9 +134,12 @@ def build_shade_table(
         setup.edges[:, c, :] * (setup.inv_area2 / setup.w[:, c])[:, None]
         for c in range(3)
     ]
-    regions = atlas_regions[geom.tri_material[setup.orig_tri]]  # (P, 3, 4)
+    mat = geom.tri_material[setup.orig_tri]  # (P,)
+    regions = atlas.regions[mat]  # (P, 3, 4)
     parts = ebw + corner_attr + [regions.reshape(p, 12).astype(jnp.float32)]
-    parts.append(jnp.zeros((p, 128 - 63), jnp.float32))
+    parts.append(atlas.mr_consts[mat])
+    parts.append(atlas.nm_consts[mat])
+    parts.append(jnp.zeros((p, 128 - 71), jnp.float32))
     return jnp.concatenate(parts, axis=1)
 
 
@@ -156,7 +161,7 @@ def shade(
     """
     geom = buffers.geometry
     h, w = ibuf.shape
-    table = build_shade_table(setup, geom, buffers.atlas.regions, world)
+    table = build_shade_table(setup, geom, buffers.atlas, world)
 
     slot = jnp.maximum(ibuf, 0)
     covered = ibuf >= 0
@@ -179,10 +184,23 @@ def shade(
     wp, n_v, t_v, b_v, uv = a[..., :3], a[..., 3:6], a[..., 6:9], a[..., 9:12], a[..., 12:14]
     regions = row[..., 51:63].reshape(h, w, 3, 4)
 
-    tex = sample_atlas_multi(buffers.atlas, regions, uv)  # one batched gather
+    # Sample only the non-constant texture slots (static per scene): a
+    # constant texture's bilinear sample IS the constant, which rides along
+    # in the slot row — each elided slot saves a 2M-row gather (~28 ms).
+    atlas = buffers.atlas
+    slots = [0] + ([1] if not atlas.nm_constant else []) + (
+        [2] if not atlas.mr_constant else []
+    )
+    regs = jnp.stack([regions[..., i, :] for i in slots], axis=-2)
+    tex = sample_atlas_multi(atlas, regs, uv)  # one batched gather
     base_color = tex[..., 0, :3]  # sRGB-decoded at atlas build
-    nm = tex[..., 1, :3]
-    mr = tex[..., 2, :]
+    k = 1
+    if atlas.nm_constant:
+        nm = row[..., 67:70]
+    else:
+        nm = tex[..., k, :3]
+        k += 1
+    mr = row[..., 63:67] if atlas.mr_constant else tex[..., k, :]
 
     # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
     nm = nm.at[..., 1].set(1.0 - nm[..., 1])

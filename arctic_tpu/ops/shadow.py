@@ -54,21 +54,25 @@ def _select_mats() -> jnp.ndarray:
 
 
 def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sem, *, xb: int):
+    # One step builds windows for 8 consecutive qy rows (36 shared source
+    # rows) — batching amortizes the per-step DMA/dispatch overhead that
+    # dominated a one-qy-per-step version.
     sy = pl.program_id(0)
     sx = pl.program_id(1)
-    qy = pl.program_id(2)
-    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(4 * qy + sy, 4)], slab, sem)
+    q = pl.program_id(2)
+    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(32 * q + sy, 36)], slab, sem)
     copy.start()
     copy.wait()
-    acc = jnp.zeros((xb, 512), jnp.float32)
-    for r in range(4):
-        acc = acc + jax.lax.dot_general(
-            slab[r],
-            smat_ref[r],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    out_ref[0, 0, 0] = acc
+    for j in range(8):
+        acc = jnp.zeros((xb, 512), jnp.float32)
+        for r in range(4):
+            acc = acc + jax.lax.dot_general(
+                slab[4 * j + r],
+                smat_ref[r],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[0, 0, j] = acc
 
 
 def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
@@ -83,35 +87,36 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
     sp = s + 4
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     xb = -(-(sp + 3) // 128)  # 128-column source blocks
-    yp = _round_up(sp + 3, 4)
+    sq = s // 4 + 1
+    sq8 = -(-sq // 8)
+    yp = 32 * sq8 + 8
     padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 3 - sp)))
     # Four x-shifted contiguous views, 128 cols per MXU source block.
     in4 = jnp.stack(
         [padded2[:, sx : sx + xb * 128].reshape(yp, xb, 128) for sx in range(4)]
     )
-    sq = s // 4 + 1
 
     lut = pl.pallas_call(
         functools.partial(_lut_kernel, xb=xb),
-        grid=(4, 4, sq),
+        grid=(4, 4, sq8),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, 128, 512), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, xb, 512), lambda sy, sx, qy: (sy, sx, qy, 0, 0)
+            (1, 1, 8, xb, 512), lambda sy, sx, q: (sy, sx, q, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((4, 4, sq, xb, 512), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, 4, sq8 * 8, xb, 512), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, xb, 128), jnp.float32),
+            pltpu.VMEM((36, xb, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=jax.default_backend() != "tpu",
     )(in4, _select_mats())
-    return lut.reshape(4 * 4 * sq * xb * 32, 16), sq, xb
+    return lut.reshape(4 * 4 * sq8 * 8 * xb * 32, 16), sq8 * 8, xb
 
 
-def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
+def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
     """Fraction of occluded PCF taps in [0, 1] per pixel.
 
     shadow_map: (S, S) f32 depth from the sun pass (cleared to 1.0).
@@ -139,26 +144,34 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array) -> Array:
     start_y = jnp.clip(wy + 2, 0, s)  # padded-coords window origin
     start_x = jnp.clip(wx + 2, 0, s)
 
-    # Aligned 4-texel x-runs for all 16 (y%4, x%4) shift classes via strided
-    # slices (streaming-bandwidth build), one batched gather for the 4 window
-    # rows. Measured equal to the Pallas one-row-per-window LUT
-    # (build_window_lut, kept as a utility) — the gather is latency-bound
-    # either way, ~100 ms for 2M windows at 1080p on v5e.
-    padded = jnp.pad(shadow_map, 2, mode="wrap")
-    sp = s + 4
-    yq = (sp + 3 + 3) // 4
-    xq = (sp + 3 + 3) // 4
-    padded2 = jnp.pad(padded, ((0, yq * 4 - sp), (0, xq * 4 + 3 - sp)))
-    classes = []
-    for k in range(4):
-        for sx in range(4):
-            classes.append(padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4))
-    runs = jnp.stack(classes).reshape(16 * yq * xq, 4)
-    sx_c = start_x % 4
-    qx = start_x // 4
-    y = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
-    idx = (((y % 4) * 4 + sx_c[..., None]) * yq + y // 4) * xq + qx[..., None]
-    window = runs[idx]  # one batched gather -> (..., 4, 4)
+    # Gathers cost ~14 ns/row flat on TPU, so the one-row-per-window Pallas
+    # LUT (2M rows/frame) beats the strided-runs path (4 rows per window,
+    # 8M rows) once the LUT build is batched. The runs path remains for CPU
+    # (pallas interpret mode is slow) — both are bit-identical (tested).
+    if use_lut is None:
+        use_lut = jax.default_backend() == "tpu"
+    if use_lut:
+        lut, sq, xb = build_window_lut(shadow_map)
+        idx = (
+            ((start_y % 4) * 4 + start_x % 4) * sq + start_y // 4
+        ) * (xb * 32) + start_x // 4
+        window = lut[idx].reshape(tx.shape + (4, 4))
+    else:
+        padded = jnp.pad(shadow_map, 2, mode="wrap")
+        sp = s + 4
+        yq = (sp + 3 + 3) // 4
+        xq = (sp + 3 + 3) // 4
+        padded2 = jnp.pad(padded, ((0, yq * 4 - sp), (0, xq * 4 + 3 - sp)))
+        classes = []
+        for k in range(4):
+            for sx in range(4):
+                classes.append(padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4))
+        runs = jnp.stack(classes).reshape(16 * yq * xq, 4)
+        sx_c = start_x % 4
+        qx = start_x // 4
+        y = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
+        idx = (((y % 4) * 4 + sx_c[..., None]) * yq + y // 4) * xq + qx[..., None]
+        window = runs[idx]  # one batched gather -> (..., 4, 4)
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)

@@ -6,6 +6,18 @@ import jax.numpy as jnp
 from arctic_tpu.ops import shadow
 
 
+def test_pcf_paths_bit_identical(rng):
+    """LUT-based and runs-based PCF must agree bit-for-bit."""
+    s = 64
+    smap = jnp.asarray(rng.uniform(0.2, 0.8, (s, s)).astype(np.float32))
+    xy = rng.uniform(-1.2, 1.2, (300, 2)).astype(np.float32)
+    z = rng.uniform(-0.1, 1.1, (300, 1)).astype(np.float32)
+    lsp = jnp.asarray(np.concatenate([xy, z, np.ones((300, 1), np.float32)], 1))
+    a = np.asarray(shadow.pcf_shadow(smap, lsp, use_lut=True))
+    b = np.asarray(shadow.pcf_shadow(smap, lsp, use_lut=False))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_window_lut_exact(rng):
     s = 64
     smap = rng.uniform(0.1, 0.9, (s, s)).astype(np.float32)

@@ -60,11 +60,11 @@ def main():
     world, sun_pv, shadow_map, setup, ibuf = jax.block_until_ready(prep(bufs, params))
     print("prep done", flush=True)
 
-    t = timeit(jax.jit(lambda s, g, r, w: pipeline.build_shade_table(s, g, r, w)),
-               setup, geom, bufs.atlas.regions, world)
+    t = timeit(jax.jit(lambda s, g, a, w: pipeline.build_shade_table(s, g, a, w)),
+               setup, geom, bufs.atlas, world)
     print(f"table build:   {t*1e3:9.2f} ms", flush=True)
 
-    table = jax.block_until_ready(pipeline.build_shade_table(setup, geom, bufs.atlas.regions, world))
+    table = jax.block_until_ready(pipeline.build_shade_table(setup, geom, bufs.atlas, world))
 
     @jax.jit
     def row_gather(table, ibuf):
