@@ -54,16 +54,16 @@ def _select_mats() -> jnp.ndarray:
 
 
 def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sem, *, xb: int):
-    # One step builds windows for 8 consecutive qy rows (36 shared source
+    # One step builds windows for 32 consecutive qy rows (132 shared source
     # rows) — batching amortizes the per-step DMA/dispatch overhead that
     # dominated a one-qy-per-step version.
     sy = pl.program_id(0)
     sx = pl.program_id(1)
     q = pl.program_id(2)
-    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(32 * q + sy, 36)], slab, sem)
+    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(128 * q + sy, 132)], slab, sem)
     copy.start()
     copy.wait()
-    for j in range(8):
+    for j in range(32):
         acc = jnp.zeros((xb, 512), jnp.float32)
         for r in range(4):
             acc = acc + jax.lax.dot_general(
@@ -88,8 +88,8 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     xb = -(-(sp + 3) // 128)  # 128-column source blocks
     sq = s // 4 + 1
-    sq8 = -(-sq // 8)
-    yp = 32 * sq8 + 8
+    sq8 = -(-sq // 32)
+    yp = 128 * sq8 + 8
     padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 3 - sp)))
     # Four x-shifted contiguous views, 128 cols per MXU source block.
     in4 = jnp.stack(
@@ -104,16 +104,16 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
             pl.BlockSpec((4, 128, 512), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8, xb, 512), lambda sy, sx, q: (sy, sx, q, 0, 0)
+            (1, 1, 32, xb, 512), lambda sy, sx, q: (sy, sx, q, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((4, 4, sq8 * 8, xb, 512), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, 4, sq8 * 32, xb, 512), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((36, xb, 128), jnp.float32),
+            pltpu.VMEM((132, xb, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=jax.default_backend() != "tpu",
     )(in4, _select_mats())
-    return lut.reshape(4 * 4 * sq8 * 8 * xb * 32, 16), sq8 * 8, xb
+    return lut.reshape(4 * 4 * sq8 * 32 * xb * 32, 16), sq8 * 32, xb
 
 
 def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
