@@ -152,6 +152,31 @@ def cmd_render(args) -> int:
     else:
         render = pipeline.make_renderer(config)
 
+    from arctic_tpu.utils.errors import render_guard
+
+    scene_desc = args.scene or f"procedural:{args.procedural}"
+    guard_desc = (
+        f"scene={scene_desc} {config.width}x{config.height} "
+        f"shadow={config.shadow_size} tris={int(buffers.geometry.num_tris)}"
+    )
+
+    # First frame through the stats renderer: compiles the pipeline and
+    # verifies the tile-pair buffers didn't overflow (dropped fragments).
+    if not (args.raytrace or args.devices):
+        with render_guard(guard_desc):
+            _, rstats = pipeline.make_renderer_stats(config)(buffers, params, settings)
+            rstats = {k: int(v) for k, v in rstats.items()}
+        for p_name in ("cam", "shadow"):
+            if rstats[f"{p_name}_pairs"] > rstats[f"{p_name}_pair_cap"]:
+                log.warning(
+                    "%s pass overflowed the tile-pair buffer (%d > %d): frame "
+                    "is missing fragments — raise pairs_per_tri/pair_reserve "
+                    "via --config",
+                    p_name,
+                    rstats[f"{p_name}_pairs"],
+                    rstats[f"{p_name}_pair_cap"],
+                )
+
     stats = FrameStats()
     img = None
     for i in range(args.frames):
@@ -164,8 +189,9 @@ def cmd_render(args) -> int:
                 params, camera=dataclasses.replace(params.camera, rotation=jnp.asarray(rot))
             )
         stats.tick()
-        img = render(buffers, p, settings)
-        img.block_until_ready()
+        with render_guard(guard_desc):
+            img = render(buffers, p, settings)
+            img.block_until_ready()
         if args.frames > 1:
             out_i = args.out.replace(".png", f"_{i:04d}.png") if args.frames > 1 else args.out
             save_png(out_i, np.asarray(img))

@@ -63,13 +63,19 @@ def _rasterize(
     config: RenderConfig,
     tile: int | None = None,
 ):
+    """Returns (zbuf, ibuf, pairs_used, pair_cap). The brute-force path has
+    no pair buffer, so it can never overflow (reported as 0/1)."""
     if config.force_bruteforce:
-        return raster.rasterize_bruteforce(setup, height, width, config.raster_chunk)
+        zbuf, ibuf = raster.rasterize_bruteforce(
+            setup, height, width, config.raster_chunk
+        )
+        return zbuf, ibuf, jnp.int32(0), 1
     from arctic_tpu.ops import raster_tiles
 
-    return raster_tiles.rasterize_tiled(
-        setup, height, width, config, tile_h=tile, tile_w=tile
+    zbuf, ibuf, pairs = raster_tiles.rasterize_tiled(
+        setup, height, width, config, tile_h=tile, tile_w=tile, with_pairs=True
     )
+    return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity)
 
 
 def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfig) -> Array:
@@ -83,20 +89,20 @@ def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfi
     clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
     s = config.shadow_size
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
-    zbuf, _ = _rasterize(setup, s, s, config, tile=config.shadow_tile)
-    return zbuf
+    zbuf, _, pairs, cap = _rasterize(setup, s, s, config, tile=config.shadow_tile)
+    return zbuf, pairs, cap
 
 
 def main_pass(
     world: Array, geom: Geometry, cam_pv: Array, config: RenderConfig
-) -> Tuple[raster.TriSetup, Array, Array]:
+):
     """Forward-pass visibility: back-face cull, depth LESS (forward_pass.cpp)."""
     clip = to_clip(world, cam_pv)
     tri_valid = jnp.arange(geom.capacity) < geom.num_tris
     clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
     setup = raster.setup_screen_triangles(clipped, config.width, config.height, cull="back")
-    zbuf, ibuf = _rasterize(setup, config.height, config.width, config)
-    return setup, zbuf, ibuf
+    zbuf, ibuf, pairs, cap = _rasterize(setup, config.height, config.width, config)
+    return setup, zbuf, ibuf, pairs, cap
 
 
 def build_shade_table(
@@ -254,6 +260,64 @@ def shade(
     return jnp.where(covered[..., None], color, background)
 
 
+def render_frame_stats(
+    buffers: SceneBuffers,
+    params: SceneParams,
+    settings: Settings,
+    config: RenderConfig,
+):
+    """render_frame + raster health scalars.
+
+    stats: {"cam_pairs", "cam_pair_cap", "shadow_pairs", "shadow_pair_cap"} —
+    pairs > cap means the binning buffer overflowed and fragments were
+    DROPPED (the frame is visually incomplete). check_stats() makes that
+    loud; bench.py and the CLI call it every run.
+    """
+    geom = buffers.geometry
+    world = vertex_world_positions(geom)
+    sun_pv = params.sun.proj_view()
+    # named_scope = the frame graph's pass labels in HLO/profiler traces
+    # (the Tracy zone analogue, SURVEY.md §5.1).
+    with jax.named_scope("shadow_pass"):
+        shadow_map, sh_pairs, sh_cap = shadow_pass(world, geom, sun_pv, config)
+
+    cam_pv = params.camera.proj_view()
+    with jax.named_scope("forward_visibility"):
+        setup, _zbuf, ibuf, cam_pairs, cam_cap = main_pass(world, geom, cam_pv, config)
+    with jax.named_scope("forward_shade_skybox"):
+        hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
+
+    with jax.named_scope("post_process"):
+        if config.hdr_half_round:
+            # R16G16B16A16_FLOAT storage rounding (renderer.cpp:128-144).
+            hdr = hdr.astype(jnp.float16).astype(jnp.float32)
+
+        ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
+    stats = {
+        "cam_pairs": cam_pairs,
+        "cam_pair_cap": jnp.int32(cam_cap),
+        "shadow_pairs": sh_pairs,
+        "shadow_pair_cap": jnp.int32(sh_cap),
+    }
+    return tonemap.to_unorm8(ldr), stats
+
+
+def check_stats(stats) -> None:
+    """Raise if a rendered frame dropped fragments (host-side, post-render)."""
+    from arctic_tpu.utils.errors import RenderError
+
+    for pass_name in ("cam", "shadow"):
+        pairs = int(stats[f"{pass_name}_pairs"])
+        cap = int(stats[f"{pass_name}_pair_cap"])
+        if pairs > cap:
+            raise RenderError(
+                f"{pass_name} pass overflowed the tile-pair buffer "
+                f"({pairs} pairs > capacity {cap}): fragments were dropped and "
+                f"the frame is incomplete. Raise RenderConfig.pairs_per_tri / "
+                f"pair_reserve."
+            )
+
+
 def render_frame(
     buffers: SceneBuffers,
     params: SceneParams,
@@ -262,23 +326,15 @@ def render_frame(
 ) -> Array:
     """Full frame -> (H, W, 3) uint8. The TPU analogue of
     Renderer::render_frame (renderer.cpp:274-415), one XLA program."""
-    geom = buffers.geometry
-    world = vertex_world_positions(geom)
-    sun_pv = params.sun.proj_view()
-    shadow_map = shadow_pass(world, geom, sun_pv, config)
-
-    cam_pv = params.camera.proj_view()
-    setup, _zbuf, ibuf = main_pass(world, geom, cam_pv, config)
-    hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
-
-    if config.hdr_half_round:
-        # R16G16B16A16_FLOAT storage rounding (renderer.cpp:128-144).
-        hdr = hdr.astype(jnp.float16).astype(jnp.float32)
-
-    ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
-    return tonemap.to_unorm8(ldr)
+    img, _ = render_frame_stats(buffers, params, settings, config)
+    return img
 
 
 def make_renderer(config: RenderConfig):
     """Jit-compiled frame function; scene params/settings stay dynamic."""
     return jax.jit(functools.partial(render_frame, config=config))
+
+
+def make_renderer_stats(config: RenderConfig):
+    """Like make_renderer but returning (image, raster health stats)."""
+    return jax.jit(functools.partial(render_frame_stats, config=config))

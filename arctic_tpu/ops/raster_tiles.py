@@ -139,7 +139,8 @@ def rasterize_tiled(
     tile_rows: int | None = None,
     crop: bool = True,
     vma: tuple = (),
-) -> Tuple[Array, Array]:
+    with_pairs: bool = False,
+) -> Tuple[Array, ...]:
     """Binned tiled rasterization; drop-in replacement for the brute force.
 
     height/width define the *viewport* (NDC mapping and bbox clamp).  A
@@ -211,4 +212,10 @@ def rasterize_tiled(
     if crop:
         zbuf = zbuf[:height, :width]
         ibuf = ibuf[:height, :width]
+    if with_pairs:
+        # Overflowing pairs are silently floated to the sentinel tile and
+        # dropped; callers compare total_pairs against pair_cap to make the
+        # failure loud (VERDICT round 1: a broken frame must not ship a
+        # benchmark number).
+        return zbuf, ibuf, pairs.total_pairs
     return zbuf, ibuf

@@ -19,6 +19,86 @@ import time
 import numpy as np
 
 
+def conformance_checks() -> None:
+    """Machine-check the Mosaic kernel path on the *current* backend.
+
+    Round-1 gap (VERDICT): all golden/PSNR tests run force_bruteforce on CPU,
+    so real-TPU Mosaic output was only ever eyeballed. Every bench run now
+    asserts, on the hardware being benchmarked:
+      1. tiled rasterizer == brute force exactly on ibuf (CLAUDE.md invariant)
+      2. the full tiled pipeline is >= 40 dB PSNR vs the float64 oracle
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arctic_tpu.core.config import RenderConfig
+    from arctic_tpu.core.scene import PointLights, default_scene_params, default_settings
+    from arctic_tpu.io.build import build_buffers
+    from arctic_tpu.io.procedural import cornell_like_scene
+    from arctic_tpu.models import golden, pipeline
+    from arctic_tpu.ops import raster, raster_tiles
+
+    W, H, SHADOW = 160, 120, 200
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    config = RenderConfig(width=W, height=H, shadow_size=SHADOW)
+
+    cam = dict(eye=[0.0, 4.0, 3.0], rotation=[-25.0, -90.0], aspect=W / H,
+               fov_y=45.0, z_near=0.1, z_far=1000.0)
+    sun = dict(position=[-10.0, 32.0, -2.48], rotation=[-70.0, 12.0], color=[8.0, 8.0, 8.0])
+    lights = [((0.0, 1.0, 0.0), (10.0, 0.0, 0.0)), ((3.0, 2.0, -6.0), (0.0, 6.0, 12.0))]
+    params = default_scene_params(aspect=W / H)
+    params = dataclasses.replace(
+        params,
+        camera=dataclasses.replace(
+            params.camera, eye=jnp.asarray(cam["eye"]), rotation=jnp.asarray(cam["rotation"])
+        ),
+        point_lights=PointLights.from_list(lights),
+    )
+    settings = dataclasses.replace(default_settings(), tm_method=jnp.int32(2))
+
+    # 1. tiled (Mosaic on TPU) vs brute-force visibility: exact ibuf match.
+    import jax
+
+    @jax.jit
+    def both_ibufs(bufs, params):
+        world = pipeline.vertex_world_positions(bufs.geometry)
+        clip = pipeline.to_clip(world, params.camera.proj_view())
+        tv = jnp.arange(bufs.geometry.capacity) < bufs.geometry.num_tris
+        clipped = raster.near_clip_triangles(clip, bufs.geometry.indices, tv)
+        setup = raster.setup_screen_triangles(clipped, W, H, cull="back")
+        _, it = raster_tiles.rasterize_tiled(setup, H, W, config)
+        _, ib = raster.rasterize_bruteforce(setup, H, W, config.raster_chunk)
+        return it, ib
+
+    it, ib = jax.device_get(both_ibufs(bufs, params))
+    if not np.array_equal(it, ib):
+        n = int((it != ib).sum())
+        raise RuntimeError(
+            f"CONFORMANCE FAILURE: tiled rasterizer ibuf differs from brute "
+            f"force at {n}/{it.size} pixels on backend {jax.default_backend()}"
+        )
+
+    # 2. full tiled pipeline vs the independent float64 oracle.
+    img = np.asarray(pipeline.render_frame(bufs, params, settings, config))
+    tris, mats = golden.golden_scene(meshes, objects, materials)
+    img_gold = golden.render(
+        tris, mats, np.asarray(env, np.float64), cam, sun, lights,
+        ambient=0.1, settings=dict(tm_method=2, gamma=2.2, exposure=1.0),
+        width=W, height=H, shadow_size=SHADOW,
+    )
+    mse = np.mean((img.astype(np.float64) - img_gold.astype(np.float64)) ** 2)
+    db = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+    if db < 40.0:
+        raise RuntimeError(
+            f"CONFORMANCE FAILURE: tiled pipeline PSNR {db:.2f} dB < 40 dB vs "
+            f"the float64 oracle on backend {jax.default_backend()}"
+        )
+    print(f"conformance: ibuf exact-match OK, PSNR {db:.2f} dB >= 40 OK", file=sys.stderr)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -28,6 +108,8 @@ def main() -> None:
     from arctic_tpu.io.build import build_buffers
     from arctic_tpu.io.procedural import sponza_like_scene
     from arctic_tpu.models import pipeline
+
+    conformance_checks()
 
     W, H = 1920, 1080
     config = RenderConfig(width=W, height=H, shadow_size=4000)
@@ -63,9 +145,17 @@ def main() -> None:
         default_settings(), tm_method=jnp.int32(2)  # ACES (configs[2])
     )
 
-    render = pipeline.make_renderer(config)
-    img = render(bufs, params, settings)
+    # One program for both timing and health: the stats outputs are scalars
+    # already computed by the binning cumsum (free), and a second jitted
+    # variant would double the (minutes-long) remote TPU compile.
+    render_s = pipeline.make_renderer_stats(config)
+
+    def render(bufs, p, settings):
+        return render_s(bufs, p, settings)[0]
+
+    img, rstats = render_s(bufs, params, settings)
     img.block_until_ready()  # compile + first frame
+    pipeline.check_stats(rstats)  # raise if fragments were dropped (overflow)
 
     # Fly the camera down the hall: every timed frame has distinct inputs
     # (no backend-side result reuse possible; matches real usage).
@@ -84,11 +174,12 @@ def main() -> None:
     render(bufs, frames[0], settings).block_until_ready()
     t0 = time.perf_counter()
     for p in frames:
-        img = render(bufs, p, settings)
+        img, rstats = render_s(bufs, p, settings)
     np.asarray(img[:1, :1])  # hard device->host sync (block_until_ready can
     # acknowledge early through the remote-TPU tunnel)
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt
+    pipeline.check_stats(rstats)  # last fly-through frame must be complete too
 
     # Side artifact for eyeballing (not part of the metric).
     try:

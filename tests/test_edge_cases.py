@@ -87,3 +87,49 @@ def test_fill_rule_no_double_coverage_on_exact_edges():
     c1 = np.asarray(i1) >= 0
     assert not (c0 & c1).any(), "diagonal pixels covered twice"
     assert (c0 | c1).all(), "hole in fullscreen quad"
+
+
+def test_pair_buffer_overflow_is_reported():
+    """An overflowing tile-pair buffer must be visible in render stats and
+    make check_stats raise (round-1 VERDICT: silent fragment drops shipped
+    benchmark numbers for broken frames)."""
+    import pytest
+
+    from arctic_tpu.utils.errors import RenderError
+
+    # 60 full-screen quads -> every triangle covers every tile: pairs far
+    # exceed the deliberately tiny capacity.
+    n = 60
+    positions, indices = [], []
+    for i in range(n):
+        z = -3.0 - 0.01 * i
+        base = 4 * i
+        positions += [[-9, -9, z], [9, -9, z], [9, 9, z], [-9, 9, z]]
+        indices += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    bufs = _mini_scene(positions, indices)
+
+    config = RenderConfig(
+        width=128, height=128, shadow_size=64, pairs_per_tri=1, pair_reserve=0
+    )
+    p = default_scene_params(aspect=1.0)
+    p = dataclasses.replace(
+        p, camera=dataclasses.replace(p.camera, eye=jnp.zeros(3), rotation=jnp.asarray([0.0, -90.0]))
+    )
+    _, stats = pipeline.render_frame_stats(bufs, p, default_settings(), config)
+    assert int(stats["cam_pairs"]) > int(stats["cam_pair_cap"])
+    with pytest.raises(RenderError, match="overflowed"):
+        pipeline.check_stats(stats)
+
+
+def test_no_overflow_reported_on_healthy_scene():
+    bufs = _mini_scene(
+        [[-1, -1, -3], [1, -1, -3], [0, 1, -3]], [[0, 1, 2]]
+    )
+    config = RenderConfig(width=64, height=64, shadow_size=64)
+    p = default_scene_params(aspect=1.0)
+    p = dataclasses.replace(
+        p, camera=dataclasses.replace(p.camera, eye=jnp.zeros(3), rotation=jnp.asarray([0.0, -90.0]))
+    )
+    _, stats = pipeline.render_frame_stats(bufs, p, default_settings(), config)
+    pipeline.check_stats(stats)  # must not raise
+    assert int(stats["cam_pairs"]) <= int(stats["cam_pair_cap"])

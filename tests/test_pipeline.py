@@ -59,7 +59,7 @@ def test_sky_on_top_geometry_below(frame, buffers, scene_params):
     # Recompute the visibility buffer to separate sky from geometry.
     geom = buffers.geometry
     world = pipeline.vertex_world_positions(geom)
-    setup, _, ibuf = pipeline.main_pass(world, geom, scene_params.camera.proj_view(), CONFIG)
+    setup, _, ibuf, _, _ = pipeline.main_pass(world, geom, scene_params.camera.proj_view(), CONFIG)
     covered = np.asarray(ibuf) >= 0
     assert not covered[0].any(), "top row should be sky (camera pitched down over a 20m floor)"
     assert covered[-1].all(), "bottom row should be floor"
