@@ -6,8 +6,8 @@ Where the reference does one blocking staging-buffer upload per resource
 (SURVEY.md §3.1), we assemble SoA numpy arrays on the host and device_put the
 whole pytree once.
 
-A C++ fast path for the CPU-heavy pieces (tangent generation, image packing,
-OBJ parsing, RGBE decode) lives in native/arctic_native.cpp; the numpy
+A C++ fast path for the CPU-heavy pieces (tangent generation, RGBE decode)
+lives in native/arctic_native.cpp; the numpy
 implementations here are the reference semantics and the fallback.
 """
 
