@@ -55,6 +55,12 @@ class RenderConfig:
     # the binned pipeline. Only sane for tiny frames/tests.
     force_bruteforce: bool = False
 
+    # Fused shading: resolve per-pixel shading inputs inside a per-tile
+    # Pallas kernel (exact one-hot MXU selection over the tile's triangle
+    # list) instead of per-pixel XLA gathers from a shade table. Requires
+    # the tiled rasterizer; ignored under force_bruteforce.
+    fused_shade: bool = True
+
     # Print a device-side warning when the (tile, triangle) pair buffer
     # overflows (overflowing pairs are dropped -> missing fragments).
     debug_overflow: bool = False

@@ -156,6 +156,15 @@ class Geometry:
     object_trs: jnp.ndarray  # (O, 4, 4) f32 world TRS per object
     num_tris: jnp.ndarray  # i32 scalar, valid triangle count (<= T)
 
+    # Tri-major static shading data, precomputed at build time so the fused
+    # shading path needs ZERO per-frame vertex gathers (XLA gathers are
+    # latency-bound at ~14 ns/row; the old per-frame shade-table build paid
+    # ~38 ms/frame in them). None on hand-built Geometry; io.build fills them.
+    tri_corner_pos: jnp.ndarray = None  # (T, 3, 3) f32 object-space corners
+    tri_obj: jnp.ndarray = None  # (T,) i32 object id per triangle
+    tri_static_attrs: jnp.ndarray = None  # (T, 3, 11) f32 [n, t, b, uv]/corner
+    tri_matrow: jnp.ndarray = None  # (T, 19) f32 [regions 12, mr_c 4, nm_c 3]
+
     @property
     def capacity(self) -> int:
         return self.indices.shape[0]

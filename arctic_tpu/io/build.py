@@ -220,17 +220,46 @@ def build_buffers(
     indices = np.pad(indices, ((0, cap - num_tris), (0, 0)))
     tri_mat = np.pad(tri_mat, (0, cap - num_tris))
 
+    # Tri-major static shading attributes (fused path, zero per-frame vertex
+    # gathers): per-corner normalized n/t/b + uv, object-space corner
+    # positions, the triangle's object id. Normalization matches
+    # maths.normalize (f32, no eps) bit-for-bit by computing in f32.
+    normals = np.concatenate(nrm_l)
+    tangents = np.concatenate(tan_l)
+    bitangents = np.concatenate(btn_l)
+    uvs = np.concatenate(uv_l)
+    vobj = np.concatenate(vobj_l)
+
+    def _norm_f32(v):
+        v = v.astype(np.float32)
+        n = np.sqrt(np.sum(v * v, axis=-1, keepdims=True, dtype=np.float32))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (v / n).astype(np.float32)
+
+    vattr_static = np.concatenate(
+        [_norm_f32(normals), _norm_f32(tangents), _norm_f32(bitangents),
+         uvs.astype(np.float32)], axis=1,
+    )  # (V, 11)
+    vattr_static = np.nan_to_num(vattr_static)  # zero-length n/t/b of pad verts
+    tri_corner_pos = positions[indices].astype(np.float32)  # (cap, 3, 3)
+    tri_static_attrs = vattr_static[indices]  # (cap, 3, 11)
+    tri_obj = vobj[indices[:, 0]].astype(np.int32)  # (cap,)
+
     geometry = Geometry(
         positions=jnp.asarray(positions),
-        normals=jnp.asarray(np.concatenate(nrm_l)),
-        tangents=jnp.asarray(np.concatenate(tan_l)),
-        bitangents=jnp.asarray(np.concatenate(btn_l)),
-        uvs=jnp.asarray(np.concatenate(uv_l)),
-        vertex_object=jnp.asarray(np.concatenate(vobj_l)),
+        normals=jnp.asarray(normals),
+        tangents=jnp.asarray(tangents),
+        bitangents=jnp.asarray(bitangents),
+        uvs=jnp.asarray(uvs),
+        vertex_object=jnp.asarray(vobj),
         indices=jnp.asarray(indices),
         tri_material=jnp.asarray(tri_mat),
         object_trs=jnp.asarray(np.stack(trs_list)),
         num_tris=jnp.int32(num_tris),
+        tri_corner_pos=jnp.asarray(tri_corner_pos),
+        tri_obj=jnp.asarray(tri_obj),
+        tri_static_attrs=jnp.asarray(tri_static_attrs),
+        tri_matrow=None,  # filled below once the atlas regions exist
     )
 
     # Atlas: 3 slots per material; diffuse sRGB-decoded, rest linear.
@@ -270,6 +299,18 @@ def build_buffers(
         mr_consts=jnp.asarray(mr_consts),
         nm_constant=nm_constant,
         mr_constant=mr_constant,
+    )
+
+    # Per-triangle material row for the fused shade table:
+    # [atlas regions (3 slots x (y,x,h,w)) | mr_consts | nm_consts[:3]].
+    matrow_by_mat = np.concatenate(
+        [regions.reshape(len(materials), 12).astype(np.float32),
+         mr_consts, nm_consts[:, :3]], axis=1,
+    )  # (M, 19)
+    import dataclasses as _dc
+
+    geometry = _dc.replace(
+        geometry, tri_matrow=jnp.asarray(matrow_by_mat[tri_mat])
     )
 
     env_np = np.asarray(environment, np.float32)

@@ -149,6 +149,73 @@ def build_shade_table(
     return jnp.concatenate(parts, axis=1)
 
 
+def build_shade_rows(setup: raster.TriSetup, geom: Geometry, sun_pv: Array) -> Array:
+    """Full 128-lane shade rows per slot for the fused select+interp kernel.
+
+    Unlike build_shade_table (the deferred path), this build performs NO
+    per-frame vertex gathers: clip slots are [primary tris; secondary tris]
+    (raster.near_clip_triangles), i.e. orig_tri == [0..T, 0..T], so tri-major
+    data concatenates straight into slot order, and the per-corner world /
+    light-space positions come from the precomputed tri-major corner
+    positions + one small TRS lookup.
+
+    Lane layout (groups 8-aligned for the kernel's sublane slices):
+      [0:9)    perspective-bary planes (A,B,C per corner, * inv_area2 / w_c)
+      [9]      slot id as exact f32 (the kernel's one-hot key)
+      [16:33)  corner-0 attrs: world pos 3, n 3, t 3, b 3, uv 2, light-space 3
+      [40:57)  corner-1 attrs, [64:81) corner-2 attrs
+      [88:107) material row: atlas regions 12, mr_consts 4, nm_consts 3
+    Light-space positions store xyz only: the sun is orthographic
+    (scene.cpp:61-70) so clip w == 1 and no perspective divide is needed.
+    """
+    t_cap = geom.capacity
+    p = setup.capacity
+    assert p == 2 * t_cap, "clip slots must be [primary; secondary] tri-major"
+
+    # World + light-space corners via per-triangle TRS (one small-table lookup).
+    trs_tri = geom.object_trs[geom.tri_obj]  # (T, 4, 4)
+    ph = jnp.concatenate(
+        [geom.tri_corner_pos, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1
+    )
+    wc = jnp.einsum(
+        "tij,tkj->tki", trs_tri, ph, precision=jax.lax.Precision.HIGHEST
+    )[..., :3]  # (T, 3, 3)
+    wch = jnp.concatenate([wc, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1)
+    lsp = jnp.einsum(
+        "ij,tkj->tki", sun_pv, wch, precision=jax.lax.Precision.HIGHEST
+    )[..., :3]
+    tri_attr = jnp.concatenate([wc, geom.tri_static_attrs, lsp], axis=-1)  # (T,3,17)
+
+    att = jnp.concatenate([tri_attr, tri_attr], axis=0)  # (P, 3, 17) slot-major
+    cb = setup.corner_bary  # (P, 3, 3) weights over original corners
+    corner_attr = [
+        jnp.einsum("pk,pki->pi", cb[:, c, :], att) for c in range(3)
+    ]  # 3 x (P, 17)
+
+    ebw = jnp.concatenate(
+        [
+            setup.edges[:, c, :] * (setup.inv_area2 / setup.w[:, c])[:, None]
+            for c in range(3)
+        ],
+        axis=1,
+    )  # (P, 9)
+    sid = jnp.arange(p, dtype=jnp.float32)[:, None]
+    matrow = jnp.concatenate([geom.tri_matrow, geom.tri_matrow], axis=0)  # (P, 19)
+
+    z = lambda n: jnp.zeros((p, n), jnp.float32)
+    rows = jnp.concatenate(
+        [ebw, sid, z(6), corner_attr[0], z(7), corner_attr[1], z(7),
+         corner_attr[2], z(7), matrow, z(21)],
+        axis=1,
+    )
+    assert rows.shape == (p, 128), rows.shape
+    # Match pack_raster_rows' padded row count so align_segments' dead-slot
+    # index is valid for this table too; padded rows get sid -2 (never match).
+    n_pad = (-(p + 1)) % 8 + 1
+    pad = jnp.zeros((n_pad, 128), jnp.float32).at[:, 9].set(-2.0)
+    return jnp.concatenate([rows, pad], axis=0)
+
+
 def shade(
     buffers: SceneBuffers,
     params: SceneParams,
@@ -260,6 +327,97 @@ def shade(
     return jnp.where(covered[..., None], color, background)
 
 
+def shade_gbuffer(
+    buffers: SceneBuffers,
+    params: SceneParams,
+    gbuf: Array,
+    covered: Array,
+    shadow_map: Array,
+    config: RenderConfig,
+    tiles_x: int,
+    tile_row0=0,
+) -> Array:
+    """forward.hlsl ps_main over the fused kernel's G-buffer (tile-major).
+
+    gbuf: (T, S, GBUF_LANES) from ops.raster_tiles.raster_gbuffer — already
+    perspective-interpolated, so this is pure per-pixel math + the texture /
+    PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv, 14:17
+    light-space xyz, 24:36 atlas regions, 36:40 mr const, 40:43 nm const].
+    Returns HDR (T, S, 3).
+    """
+    t_tiles, s_pix = covered.shape
+    wp = gbuf[..., 0:3]
+    n_v = gbuf[..., 3:6]
+    t_v = gbuf[..., 6:9]
+    b_v = gbuf[..., 9:12]
+    uv = gbuf[..., 12:14]
+    lsp3 = gbuf[..., 14:17]
+    regions = gbuf[..., 24:36].reshape(t_tiles, s_pix, 3, 4)
+
+    atlas = buffers.atlas
+    slots = [0] + ([1] if not atlas.nm_constant else []) + (
+        [2] if not atlas.mr_constant else []
+    )
+    regs = jnp.stack([regions[..., i, :] for i in slots], axis=-2)
+    tex = sample_atlas_multi(atlas, regs, uv)  # the one texture gather
+    base_color = tex[..., 0, :3]
+    k = 1
+    if atlas.nm_constant:
+        nm = gbuf[..., 40:43]
+    else:
+        nm = tex[..., k, :3]
+        k += 1
+    mr = gbuf[..., 36:40] if atlas.mr_constant else tex[..., k, :]
+
+    # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
+    nm = nm.at[..., 1].set(1.0 - nm[..., 1])
+    nm = nm * 2.0 - 1.0
+    n = maths.normalize(t_v * nm[..., 0:1] + b_v * nm[..., 1:2] + n_v * nm[..., 2:3])
+    metalness = mr[..., 2]
+    roughness = mr[..., 1]
+
+    # Sun shadow term (the sun is orthographic so light-space w == 1; the
+    # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
+    lsp = jnp.concatenate([lsp3, jnp.ones_like(lsp3[..., :1])], axis=-1)
+    shadow_f = shadow.pcf_shadow(shadow_map, lsp)
+    lit = (1.0 - shadow_f)[..., None]
+
+    eye = params.camera.eye
+    wo = maths.normalize(eye[None, None, :] - wp)
+    sun_dir = params.sun.direction()
+    lo = lit * pbr.outgoing_radiance(
+        n, wo, -sun_dir[None, None, :], params.sun.color[None, None, :],
+        base_color, metalness, roughness,
+    )
+
+    def light_body(i, acc):
+        lpos = params.point_lights.position[i]
+        lcol = params.point_lights.color[i]
+        ldir = lpos[None, None, :] - wp
+        dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
+        wi = ldir / dist[..., None]
+        radiance = lcol[None, None, :] / (dist * dist)[..., None]
+        return acc + lit * pbr.outgoing_radiance(
+            n, wo, wi, radiance, base_color, metalness, roughness
+        )
+
+    count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
+    lo = jax.lax.fori_loop(0, count, light_body, lo)
+    color = lo + params.ambient * base_color
+
+    # Skybox where no geometry wrote depth, via per-pixel tile coords.
+    tw, th = config.tile_w, config.tile_h
+    t_idx = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
+    p_idx = jnp.arange(s_pix, dtype=jnp.int32)[None, :]
+    px = ((t_idx % tiles_x) * tw + p_idx % tw).astype(jnp.float32) + 0.5
+    py = ((tile_row0 + t_idx // tiles_x) * th + p_idx // tw).astype(jnp.float32) + 0.5
+    dirs = sky.camera_ray_directions_at(
+        params.camera, px, py, config.width, config.height
+    )
+    background = sky.sample_environment(buffers.environment, dirs)
+    return jnp.where(covered[..., None], color, background)
+
+
 def render_frame_stats(
     buffers: SceneBuffers,
     params: SceneParams,
@@ -282,10 +440,37 @@ def render_frame_stats(
         shadow_map, sh_pairs, sh_cap = shadow_pass(world, geom, sun_pv, config)
 
     cam_pv = params.camera.proj_view()
-    with jax.named_scope("forward_visibility"):
-        setup, _zbuf, ibuf, cam_pairs, cam_cap = main_pass(world, geom, cam_pv, config)
-    with jax.named_scope("forward_shade_skybox"):
-        hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
+    fused = config.fused_shade and not config.force_bruteforce
+    if fused:
+        # Fused path: raster -> in-kernel select+interp (zero per-pixel
+        # gathers for shading inputs) -> tile-major shading; only the final
+        # u8 frame is untiled.
+        from arctic_tpu.ops import raster_tiles
+
+        with jax.named_scope("forward_visibility"):
+            clip = to_clip(world, cam_pv)
+            tri_valid = jnp.arange(geom.capacity) < geom.num_tris
+            clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
+            setup = raster.setup_screen_triangles(
+                clipped, config.width, config.height, cull="back"
+            )
+            shade_rows = build_shade_rows(setup, geom, sun_pv)
+            ibuf_tiles, gbuf, cam_pairs = raster_tiles.raster_gbuffer(
+                setup, shade_rows, config.height, config.width, config
+            )
+        cam_cap = config.pair_capacity(setup.capacity)
+        with jax.named_scope("forward_shade_skybox"):
+            hdr = shade_gbuffer(
+                buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
+                tiles_x=config.tiles_x,
+            )
+    else:
+        with jax.named_scope("forward_visibility"):
+            setup, _zbuf, ibuf, cam_pairs, cam_cap = main_pass(
+                world, geom, cam_pv, config
+            )
+        with jax.named_scope("forward_shade_skybox"):
+            hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
 
     with jax.named_scope("post_process"):
         if config.hdr_half_round:
@@ -293,13 +478,22 @@ def render_frame_stats(
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)
 
         ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
+        img = tonemap.to_unorm8(ldr)
+
+    if fused:
+        from arctic_tpu.ops.raster_tiles import untile_channels
+
+        img = untile_channels(
+            img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
+        )[: config.height, : config.width]
+
     stats = {
         "cam_pairs": cam_pairs,
         "cam_pair_cap": jnp.int32(cam_cap),
         "shadow_pairs": sh_pairs,
         "shadow_pair_cap": jnp.int32(sh_cap),
     }
-    return tonemap.to_unorm8(ldr), stats
+    return img, stats
 
 
 def check_stats(stats) -> None:

@@ -128,35 +128,240 @@ def _untile(buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int) ->
     )
 
 
-def rasterize_tiled(
+def untile_channels(
+    buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int
+) -> Array:
+    """(num_tiles, S, C) tile-major pixels -> (Hp, Wp, C).
+
+    Deliberately applied only to the final u8 frame: shading stays tile-major
+    end-to-end so the big f32 buffers never pay this shuffle."""
+    c = buf.shape[-1]
+    return (
+        buf.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fused select+interp kernel (the deferred-shading gather killer)
+# --------------------------------------------------------------------------
+
+GBUF_LANES = 64  # interp attrs [0:17), material row [24:43) — see build_shade_rows
+
+
+def _select_kernel(
+    # scalar prefetch
+    seg_start_ref,
+    seg_len_ref,
+    row0_ref,
+    # inputs
+    rows_hbm,
+    iref,
+    # outputs
+    out_ref,
+    # scratch
+    rows_vmem,
+    sems,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+):
+    """Per tile: re-stream the tile's triangle list as full 128-lane shade
+    rows and resolve per-pixel shading inputs with ZERO per-pixel gathers.
+
+    The winning row per pixel is selected by an exact one-hot matmul on the
+    MXU: onehot[k, p] = (slot_id[k] == ibuf[p]), acc = rows^T @ onehot.
+    One-hot entries are exact in bf16 and each output lane receives exactly
+    one product, so HIGHEST-precision (3-pass bf16 split) reconstruction of
+    the f32 row values is bit-exact. Everything downstream of the raster's
+    ibuf that the deferred path paid ~14 ns/row XLA gathers for (shade-table
+    row fetch + attribute interpolation) happens here in VMEM/VREGs.
+
+    Work is attr-major: acc is (128 row lanes, 128 pixels), so the
+    interpolation's field accesses are 8-aligned sublane slices, and the
+    final (GBUF_LANES, 128) block is transposed once on write to give the
+    channel-last (pixels, GBUF_LANES) layout the XLA shading code consumes.
+    """
+    t = pl.program_id(0)
+    start = seg_start_ref[t]
+    n = seg_len_ref[t]
+    groups = tile_h * tile_w // 128
+    ppr = 128 // tile_w  # pixel rows per lane group
+
+    tx = t % tiles_x
+    ty = row0_ref[0] + t // tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    px = (tx * tile_w + lane % tile_w).astype(jnp.float32) + 0.5
+    py_base = (ty * tile_h + lane // tile_w).astype(jnp.float32) + 0.5
+
+    accs = [jnp.zeros((128, 128), jnp.float32) for _ in range(groups)]
+    num_chunks = pl.cdiv(n, chunk)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def chunk_dma(c, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * chunk, chunk)],
+            rows_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def body(c, accs):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            chunk_dma(c + 1, 1 - slot).start()
+
+        chunk_dma(c, slot).wait()
+        rows = rows_vmem[slot]
+        # Mask rows beyond the segment (alignment padding / the next tile's
+        # rows): their slot ids must never match a pixel.
+        m = n - c * chunk
+        sid = jnp.where(k_iota < m, rows[:, 9:10], -2.0)
+        out = []
+        for s in range(groups):
+            onehot = (sid == iref[0, s, :].reshape(1, 128).astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                rows,
+                onehot.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            out.append(accs[s] + acc)
+        return out
+
+    @pl.when(n > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    accs = jax.lax.fori_loop(0, num_chunks, body, accs)
+
+    for s in range(groups):
+        acc = accs[s]  # (128 row lanes, 128 pixels)
+        py = py_base + float(s * ppr)
+        # Perspective-correct barycentrics over the clipped corners
+        # (same math as the deferred shade, pipeline.shade).
+        bw = [
+            acc[3 * c : 3 * c + 1, :] * px
+            + acc[3 * c + 1 : 3 * c + 2, :] * py
+            + acc[3 * c + 2 : 3 * c + 3, :]
+            for c in range(3)
+        ]
+        den = bw[0] + bw[1] + bw[2]
+        den = jnp.where(den == 0.0, 1.0, den)
+        b = [x / den for x in bw]
+        attr = (
+            b[0] * acc[16:40, :] + b[1] * acc[40:64, :] + b[2] * acc[64:88, :]
+        )  # (24, 128); lanes 17:24 are zero in the table
+        blk = jnp.concatenate(
+            [attr, acc[88:112, :], jnp.zeros((16, 128), jnp.float32)], axis=0
+        )  # (GBUF_LANES, 128) attr-major
+        out_ref[0, pl.ds(128 * s, 128), :] = blk.T
+
+
+def select_interp_tiles(
+    shade_rows: Array,
+    segs: binning.AlignedSegments,
+    it_tiles: Array,
+    tiles_x: int,
+    tile_rows: int,
+    tile_h: int,
+    tile_w: int,
+    tile_row0,
+    chunk: int = 128,
+    vma: tuple = (),
+) -> Array:
+    """Resolve the per-pixel G-buffer from tile ibufs + binned lists.
+
+    shade_rows: (P_pad, 128) from pipeline.build_shade_rows.
+    it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
+    Returns (num_tiles, S, GBUF_LANES) f32, channel-last.
+    """
+    assert 128 % tile_w == 0, "tile_w must divide a lane row"
+    num_tiles = tiles_x * tile_rows
+    sublanes = tile_h * tile_w // 128
+    rows = shade_rows[segs.slot]  # (cap_aligned, 128) streaming-friendly order
+    rows = jnp.pad(rows, ((0, chunk), (0, 0)))  # DMA tail guard
+    row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sublanes * 128, GBUF_LANES), lambda i, *_: (i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _select_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, sublanes * 128, GBUF_LANES), jnp.float32, vma=frozenset(vma)
+        ),
+        interpret=_interpret(),
+    )(segs.seg_start, segs.seg_len, row0_arr, rows, it_tiles)
+
+
+def raster_gbuffer(
     setup: TriSetup,
+    shade_rows: Array,
     height: int,
     width: int,
     config: RenderConfig,
-    tile_h: int | None = None,
-    tile_w: int | None = None,
-    tile_row0=None,
+    tile_row0=0,
     tile_rows: int | None = None,
-    crop: bool = True,
     vma: tuple = (),
-    with_pairs: bool = False,
-) -> Tuple[Array, ...]:
-    """Binned tiled rasterization; drop-in replacement for the brute force.
+):
+    """Fused visibility + shading-input resolve for the camera pass.
 
-    height/width define the *viewport* (NDC mapping and bbox clamp).  A
-    sharded caller can rasterize only tile rows [tile_row0, tile_row0 +
-    tile_rows) of the frame: tile_row0 may be traced (shard offset),
-    tile_rows must be static. With crop=False the padded tile-aligned
-    buffers are returned (for slice reassembly).
+    Returns (ibuf_tiles (T, S) i32, gbuf (T, S, GBUF_LANES) f32, total_pairs).
+    Everything stays tile-major; callers untile only the final u8 frame.
     """
-    th = tile_h or config.tile_h
-    tw = tile_w or config.tile_w
-    assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
+    th, tw = config.tile_h, config.tile_w
     tiles_x = -(-width // tw)
     if tile_rows is None:
         tile_rows = -(-height // th)
-    if tile_row0 is None:
-        tile_row0 = 0
+    zt, it, segs, pairs = bin_and_rasterize(
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma
+    )
+    gbuf = select_interp_tiles(
+        shade_rows, segs, it, tiles_x, tile_rows, th, tw, tile_row0,
+        chunk=config.raster_chunk, vma=vma,
+    )
+    sublanes = th * tw // 128
+    num_tiles = tiles_x * tile_rows
+    ibuf_tiles = it.reshape(num_tiles, sublanes * 128)
+    return ibuf_tiles, gbuf, pairs.total_pairs
+
+
+def bin_and_rasterize(
+    setup: TriSetup,
+    width: int,
+    config: RenderConfig,
+    tiles_x: int,
+    tile_rows: int,
+    th: int,
+    tw: int,
+    tile_row0,
+    vma: tuple = (),
+):
+    """Bin + tile-raster; returns tile-major (zt, it) plus the aligned
+    segment lists (reused by the fused shading kernel) and the pair stats."""
+    assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
     num_tiles = tiles_x * tile_rows
     sublanes = th * tw // 128
     chunk = config.raster_chunk
@@ -206,7 +411,40 @@ def rasterize_tiled(
         ],
         interpret=_interpret(),
     )(segs.seg_start, segs.seg_len, row0_arr, rows)
+    return zt, it, segs, pairs
 
+
+def rasterize_tiled(
+    setup: TriSetup,
+    height: int,
+    width: int,
+    config: RenderConfig,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
+    tile_row0=None,
+    tile_rows: int | None = None,
+    crop: bool = True,
+    vma: tuple = (),
+    with_pairs: bool = False,
+) -> Tuple[Array, ...]:
+    """Binned tiled rasterization; drop-in replacement for the brute force.
+
+    height/width define the *viewport* (NDC mapping and bbox clamp).  A
+    sharded caller can rasterize only tile rows [tile_row0, tile_row0 +
+    tile_rows) of the frame: tile_row0 may be traced (shard offset),
+    tile_rows must be static. With crop=False the padded tile-aligned
+    buffers are returned (for slice reassembly).
+    """
+    th = tile_h or config.tile_h
+    tw = tile_w or config.tile_w
+    tiles_x = -(-width // tw)
+    if tile_rows is None:
+        tile_rows = -(-height // th)
+    if tile_row0 is None:
+        tile_row0 = 0
+    zt, it, _segs, pairs = bin_and_rasterize(
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma
+    )
     zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
     ibuf = _untile(it, tile_rows, tiles_x, th, tw)
     if crop:

@@ -44,6 +44,25 @@ def sample_environment(env, direction: Array) -> Array:
     return sample_bilinear_wrap(data, uv)
 
 
+def camera_ray_directions_at(camera, px: Array, py: Array, width: int, height: int) -> Array:
+    """World-space view rays at arbitrary pixel-center coordinate arrays.
+
+    px/py are pixel-CENTER coords (x + 0.5); shapes broadcast, result is
+    (..., 3). Used by the tile-major fused path where pixels aren't a dense
+    (H, W) grid.
+    """
+    x_ndc = px / width * 2.0 - 1.0
+    y_ndc = 1.0 - py / height * 2.0
+    t = jnp.tan(jnp.radians(camera.fov_y) * 0.5)
+    x_ndc, y_ndc = jnp.broadcast_arrays(x_ndc, y_ndc)
+    dir_view = jnp.stack(
+        [x_ndc * camera.aspect * t, y_ndc * t, -jnp.ones_like(x_ndc)], axis=-1
+    )
+    view = maths.camera_view_matrix(camera.eye, camera.rotation)
+    rot = view[:3, :3]  # rows: right, up, -forward
+    return jnp.einsum("ji,...j->...i", rot, dir_view)
+
+
 def camera_ray_directions(camera, height: int, width: int, row0=0.0, rows=None) -> Array:
     """World-space view ray per pixel center, (rows, W, 3).
 

@@ -1,0 +1,95 @@
+"""The fused select+interp shading path must match the brute-force pipeline.
+
+The fused path (ops/raster_tiles.raster_gbuffer + pipeline.shade_gbuffer)
+resolves all shading inputs inside a Pallas kernel via exact one-hot MXU
+selection; the only differences vs the deferred path are f32 reassociation
+(light-space positions interpolated per-corner instead of a per-pixel
+matmul, tri-major attribute combination). Allowed: <=1 u8 LSB.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from arctic_tpu.core.config import RenderConfig
+from arctic_tpu.core.scene import PointLights, default_scene_params, default_settings
+from arctic_tpu.io.build import build_buffers
+from arctic_tpu.io.procedural import cornell_like_scene, helmet_like_scene
+from arctic_tpu.models import pipeline
+
+W, H, SHADOW = 160, 120, 200
+
+
+def _params(aspect, eye, rot, lights=()):
+    p = default_scene_params(aspect=aspect)
+    return dataclasses.replace(
+        p,
+        camera=dataclasses.replace(
+            p.camera, eye=jnp.asarray(eye), rotation=jnp.asarray(rot)
+        ),
+        point_lights=PointLights.from_list(list(lights)),
+    )
+
+
+@pytest.mark.parametrize(
+    "scene_fn,eye,rot,lights",
+    [
+        (
+            cornell_like_scene,
+            [0.0, 4.0, 3.0],
+            [-25.0, -90.0],
+            [((0.0, 1.0, 0.0), (10.0, 0.0, 0.0)), ((3.0, 2.0, -6.0), (0.0, 6.0, 12.0))],
+        ),
+        (helmet_like_scene, [0.0, 2.2, 0.5], [-8.0, -90.0], []),
+    ],
+)
+def test_fused_matches_bruteforce(scene_fn, eye, rot, lights):
+    meshes, objects, materials, env = scene_fn()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _params(W / H, eye, rot, lights)
+    s = default_settings()
+
+    img_bf = np.asarray(
+        pipeline.render_frame(
+            bufs, p, s, RenderConfig(width=W, height=H, shadow_size=SHADOW, force_bruteforce=True)
+        )
+    )
+    img_fused, stats = pipeline.render_frame_stats(
+        bufs, p, s, RenderConfig(width=W, height=H, shadow_size=SHADOW, fused_shade=True)
+    )
+    pipeline.check_stats(stats)
+    img_fused = np.asarray(img_fused)
+    diff = np.abs(img_fused.astype(int) - img_bf.astype(int))
+    assert diff.max() <= 1, f"fused path differs by {diff.max()} > 1 LSB"
+    assert (diff > 0).mean() < 0.01
+
+
+def test_fused_vs_golden_oracle():
+    """Full fused pipeline >= 40 dB vs the float64 oracle (BASELINE metric)."""
+    from arctic_tpu.models import golden
+
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    cam = dict(eye=[0.0, 4.0, 3.0], rotation=[-25.0, -90.0], aspect=W / H,
+               fov_y=45.0, z_near=0.1, z_far=1000.0)
+    sun = dict(position=[-10.0, 32.0, -2.48], rotation=[-70.0, 12.0], color=[8.0, 8.0, 8.0])
+    lights = [((0.0, 1.0, 0.0), (10.0, 0.0, 0.0))]
+    p = _params(W / H, cam["eye"], cam["rotation"], lights)
+    s = dataclasses.replace(default_settings(), tm_method=jnp.int32(2))
+
+    img = np.asarray(
+        pipeline.render_frame(
+            bufs, p, s, RenderConfig(width=W, height=H, shadow_size=SHADOW, fused_shade=True)
+        )
+    )
+    tris, mats = golden.golden_scene(meshes, objects, materials)
+    img_gold = golden.render(
+        tris, mats, np.asarray(env, np.float64), cam, sun, lights,
+        ambient=0.1, settings=dict(tm_method=2, gamma=2.2, exposure=1.0),
+        width=W, height=H, shadow_size=SHADOW,
+    )
+    mse = np.mean((img.astype(np.float64) - img_gold.astype(np.float64)) ** 2)
+    db = 10 * np.log10(255.0**2 / mse)
+    assert db >= 40.0, f"fused pipeline PSNR {db:.2f} dB < 40 dB"
