@@ -163,7 +163,7 @@ class Geometry:
     tri_corner_pos: jnp.ndarray = None  # (T, 3, 3) f32 object-space corners
     tri_obj: jnp.ndarray = None  # (T,) i32 object id per triangle
     tri_static_attrs: jnp.ndarray = None  # (T, 3, 11) f32 [n, t, b, uv]/corner
-    tri_matrow: jnp.ndarray = None  # (T, 19) f32 [regions 12, mr_c 4, nm_c 3]
+    tri_matrow: jnp.ndarray = None  # (T, 23) f32 [regions 12, mr_c 4, nm_c 3, combined region 4]
 
     @property
     def capacity(self) -> int:
@@ -198,9 +198,24 @@ class TextureAtlas:
     nm_constant: bool = static_field(default=False)
     mr_constant: bool = static_field(default=False)
 
+    # Combined-slot atlas: when, per material, all non-elided texture slots
+    # share dimensions (constants can be materialized at any size exactly),
+    # their texels interleave into one wider quad row so ALL of a pixel's
+    # material taps are ONE row gather. combined_slots is the static tuple of
+    # slot indices packed (e.g. (0, 1)); None disables the path.
+    combined_quads: jnp.ndarray = None  # (4*BH*BW, 16*len(slots))
+    combined_regions: jnp.ndarray = None  # (M, 4) i32 (y, x, h, w)
+    combined_shape: tuple = static_field(default=None)  # (AH, AW) of the atlas
+    combined_slots: tuple = static_field(default=None)
+
     @property
     def block_grid(self):
         ah, aw = self.data.shape[:2]
+        return ah // 2 + 1, aw // 2 + 1
+
+    @property
+    def combined_block_grid(self):
+        ah, aw = self.combined_shape
         return ah // 2 + 1, aw // 2 + 1
 
 

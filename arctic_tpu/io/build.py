@@ -146,7 +146,8 @@ def pack_atlas(
             locs[idx] = (y_cursor, 0, ph - 2, pw - 2)
             y_cursor += ph
     atlas_h = max((y_cursor + 1) // 2 * 2, 2)
-    atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
+    channels = images[0].shape[-1]
+    atlas = np.zeros((atlas_h, atlas_w, channels), np.float32)
     for idx, im in enumerate(padded):
         y, x = locs[idx][:2]
         atlas[y : y + im.shape[0], x : x + im.shape[1]] = im
@@ -162,7 +163,7 @@ def pack_atlas_quads(atlas: np.ndarray) -> np.ndarray:
     (4*BH*BW, 16); block grid dims derive from the atlas shape.
     """
     ah, aw, c = atlas.shape
-    assert c == 4 and ah % 2 == 0 and aw % 2 == 0
+    assert ah % 2 == 0 and aw % 2 == 0
     p = np.pad(atlas, ((0, 3), (0, 3), (0, 0)))
     bh, bw = ah // 2 + 1, aw // 2 + 1
     copies = []
@@ -170,12 +171,12 @@ def pack_atlas_quads(atlas: np.ndarray) -> np.ndarray:
         for sx in range(2):
             sub = p[sy : sy + bh * 2, sx : sx + bw * 2]
             q = (
-                sub.reshape(bh, 2, bw, 2, 4)
+                sub.reshape(bh, 2, bw, 2, c)
                 .transpose(0, 2, 1, 3, 4)
-                .reshape(bh, bw, 16)
+                .reshape(bh, bw, 4 * c)
             )
             copies.append(q)
-    return np.stack(copies).reshape(4 * bh * bw, 16)
+    return np.stack(copies).reshape(4 * bh * bw, 4 * c)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -291,6 +292,43 @@ def build_buffers(
             mr_consts[mi] = c
     atlas_np, locs = pack_atlas(images)
     regions = locs.reshape(len(materials), 3, 4)
+
+    # Combined-slot atlas: interleave each material's non-elided textures
+    # into one multi-channel image so a pixel's material taps are ONE row
+    # gather. Valid when, per material, the non-constant slots share dims
+    # (a constant texture resampled to any size is bit-identical).
+    slots = [0] + ([] if nm_constant else [1]) + ([] if mr_constant else [2])
+    combined = None
+    if len(slots) > 1:
+        combined_imgs = []
+        total_texels = 0
+        for mi in range(len(materials)):
+            group = [images[3 * mi + s] for s in slots]
+            konst = [(im == im.reshape(-1, im.shape[-1])[0]).all() for im in group]
+            dims = {im.shape[:2] for im, k in zip(group, konst) if not k}
+            if len(dims) > 1:
+                combined = False  # incompatible sizes: keep separate taps
+                break
+            hw = dims.pop() if dims else max(im.shape[:2] for im in group)
+            group = [
+                im if im.shape[:2] == hw else np.broadcast_to(im[0:1, 0:1], hw + (4,))
+                for im in group
+            ]
+            combined_imgs.append(np.concatenate(group, axis=-1))
+            total_texels += hw[0] * hw[1]
+        if combined is None and total_texels <= 32 * 1024 * 1024:
+            combined = True
+    if combined:
+        c_np, c_locs = pack_atlas(combined_imgs)
+        combined_kw = dict(
+            combined_quads=jnp.asarray(pack_atlas_quads(c_np), atlas_dtype),
+            combined_regions=jnp.asarray(c_locs),
+            combined_shape=c_np.shape[:2],
+            combined_slots=tuple(slots),
+        )
+    else:
+        combined_kw = {}
+
     atlas = TextureAtlas(
         data=jnp.asarray(atlas_np, atlas_dtype),
         quads=jnp.asarray(pack_atlas_quads(atlas_np), atlas_dtype),
@@ -299,14 +337,21 @@ def build_buffers(
         mr_consts=jnp.asarray(mr_consts),
         nm_constant=nm_constant,
         mr_constant=mr_constant,
+        **combined_kw,
     )
 
     # Per-triangle material row for the fused shade table:
-    # [atlas regions (3 slots x (y,x,h,w)) | mr_consts | nm_consts[:3]].
+    # [atlas regions (3 slots x (y,x,h,w)) | mr_consts | nm_consts[:3] |
+    #  combined-atlas region (zeros when the combined path is off)].
+    c_reg = (
+        np.asarray(combined_kw["combined_regions"], np.float32)
+        if combined_kw
+        else np.zeros((len(materials), 4), np.float32)
+    )
     matrow_by_mat = np.concatenate(
         [regions.reshape(len(materials), 12).astype(np.float32),
-         mr_consts, nm_consts[:, :3]], axis=1,
-    )  # (M, 19)
+         mr_consts, nm_consts[:, :3], c_reg], axis=1,
+    )  # (M, 23)
     import dataclasses as _dc
 
     geometry = _dc.replace(

@@ -35,7 +35,7 @@ from arctic_tpu.core.scene import (
     Settings,
 )
 from arctic_tpu.ops import pbr, raster, shadow, sky, tonemap
-from arctic_tpu.ops.sampling import sample_atlas_multi
+from arctic_tpu.ops.sampling import sample_atlas_combined, sample_atlas_multi
 
 Array = jnp.ndarray
 
@@ -164,7 +164,8 @@ def build_shade_rows(setup: raster.TriSetup, geom: Geometry, sun_pv: Array) -> A
       [9]      slot id as exact f32 (the kernel's one-hot key)
       [16:33)  corner-0 attrs: world pos 3, n 3, t 3, b 3, uv 2, light-space 3
       [40:57)  corner-1 attrs, [64:81) corner-2 attrs
-      [88:107) material row: atlas regions 12, mr_consts 4, nm_consts 3
+      [88:111) material row: atlas regions 12, mr_consts 4, nm_consts 3,
+               combined-atlas region 4
     Light-space positions store xyz only: the sun is orthographic
     (scene.cpp:61-70) so clip w == 1 and no perspective divide is needed.
     """
@@ -200,12 +201,12 @@ def build_shade_rows(setup: raster.TriSetup, geom: Geometry, sun_pv: Array) -> A
         axis=1,
     )  # (P, 9)
     sid = jnp.arange(p, dtype=jnp.float32)[:, None]
-    matrow = jnp.concatenate([geom.tri_matrow, geom.tri_matrow], axis=0)  # (P, 19)
+    matrow = jnp.concatenate([geom.tri_matrow, geom.tri_matrow], axis=0)  # (P, 23)
 
     z = lambda n: jnp.zeros((p, n), jnp.float32)
     rows = jnp.concatenate(
         [ebw, sid, z(6), corner_attr[0], z(7), corner_attr[1], z(7),
-         corner_attr[2], z(7), matrow, z(21)],
+         corner_attr[2], z(7), matrow, z(17)],
         axis=1,
     )
     assert rows.shape == (p, 128), rows.shape
@@ -355,11 +356,15 @@ def shade_gbuffer(
     regions = gbuf[..., 24:36].reshape(t_tiles, s_pix, 3, 4)
 
     atlas = buffers.atlas
-    slots = [0] + ([1] if not atlas.nm_constant else []) + (
-        [2] if not atlas.mr_constant else []
-    )
-    regs = jnp.stack([regions[..., i, :] for i in slots], axis=-2)
-    tex = sample_atlas_multi(atlas, regs, uv)  # the one texture gather
+    if atlas.combined_slots is not None:
+        # All of this material's texture slots in ONE row gather.
+        tex = sample_atlas_combined(atlas, gbuf[..., 43:47], uv)
+    else:
+        slots = [0] + ([1] if not atlas.nm_constant else []) + (
+            [2] if not atlas.mr_constant else []
+        )
+        regs = jnp.stack([regions[..., i, :] for i in slots], axis=-2)
+        tex = sample_atlas_multi(atlas, regs, uv)
     base_color = tex[..., 0, :3]
     k = 1
     if atlas.nm_constant:

@@ -127,6 +127,37 @@ def sample_atlas_multi(atlas, regions: Array, uv: Array) -> Array:
     return top + (bot - top) * fy
 
 
+def sample_atlas_combined(atlas, region: Array, uv: Array) -> Array:
+    """Sample the combined-slot atlas: ONE row gather yields every texture
+    slot's bilinear footprint at once.
+
+    region: (..., 4) the material's combined-atlas rect; returns
+    (..., len(atlas.combined_slots), 4) RGBA, same order as combined_slots.
+    """
+    n = len(atlas.combined_slots)
+    ry = region[..., 0].astype(jnp.int32)
+    rx = region[..., 1].astype(jnp.int32)
+    rh = region[..., 2].astype(jnp.int32)
+    rw = region[..., 3].astype(jnp.int32)
+    t_x = uv[..., 0] * rw - 0.5
+    t_y = uv[..., 1] * rh - 0.5
+    ix0 = jnp.floor(t_x).astype(jnp.int32)
+    iy0 = jnp.floor(t_y).astype(jnp.int32)
+    fx = (t_x - ix0)[..., None, None]
+    fy = (t_y - iy0)[..., None, None]
+    ys = ry + iy0 % rh + 1
+    xs = rx + ix0 % rw + 1
+    bh, bw = atlas.combined_block_grid
+    copy = (ys % 2) * 2 + xs % 2
+    q = (copy * bh + ys // 2) * bw + xs // 2
+    win = atlas.combined_quads[q].astype(jnp.float32)  # (..., 16 * n)
+    win = win.reshape(win.shape[:-1] + (4, n, 4))  # (..., texel, slot, rgba)
+    c00, c10, c01, c11 = (win[..., i, :, :] for i in range(4))
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
 def srgb_to_linear(c: Array) -> Array:
     """IEC sRGB EOTF, the decode D3D applies to _SRGB formats."""
     c = jnp.asarray(c, jnp.float32)
