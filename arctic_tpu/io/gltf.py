@@ -207,11 +207,13 @@ def load_gltf(path: str):
             else:
                 nrm = np.tile([0.0, 1.0, 0.0], (n, 1)).astype(np.float32)
             if "TEXCOORD_0" in attrs:
-                uv = _accessor(gltf, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2]
+                uv = _accessor(gltf, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2].copy()
+                # FlipUVs applies to existing channels only; a missing channel
+                # stays (0, 0) like the reference's mTextureCoords fallback
+                # (app.cpp:330-340 + aiProcess_FlipUVs).
+                uv[:, 1] = 1.0 - uv[:, 1]
             else:
                 uv = np.zeros((n, 2), np.float32)
-            uv = uv.copy()
-            uv[:, 1] = 1.0 - uv[:, 1]  # FlipUVs
             if "indices" in prim:
                 idx = _accessor(gltf, prim["indices"]).astype(np.int64).reshape(-1, 3)
             else:
