@@ -3,9 +3,16 @@ headless TPU host (SURVEY.md §7 phase-2 "optional interactive viewer").
 
 Zero dependencies: a localhost http.server streams PNG frames; an HTML page
 captures WASD/space/ctrl + mouse-drag (right button) and posts them back,
-mirroring App::handle_event (app.cpp:109-148). A settings panel edits
-ambient/sun/gamma/tonemap/exposure live, like the ImGui Settings window
-(app.cpp:454-493).
+mirroring App::handle_event (app.cpp:109-148). Full ImGui-window parity
+(app.cpp:402-523):
+
+- Stats window: frame time / FPS text plus a dual-axis frame-time+FPS
+  graph over the last 1000 frames (app.cpp:404-453, ImPlot analogue).
+- Settings window: camera speed / sensitivity / position / rotation /
+  near-far, ambient, sun position / rotation / HDR color, gamma, tonemap,
+  exposure (app.cpp:454-493).
+- Lights window: per-light position drag + HDR color, "Add" up to 16
+  (app.cpp:495-523) — edits upload next frame like m_update_lights.
 
     python -m arctic_tpu.app.viewer --procedural cornell --width 640 --height 360
     # then open http://localhost:8000
@@ -24,38 +31,106 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from arctic_tpu.utils.profiling import FrameStats
+
 _PAGE = """<!doctype html><html><head><title>arctic_tpu</title><style>
 body{background:#111;color:#ccc;font-family:monospace;margin:12px}
-canvas{border:1px solid #444}input{width:64px}</style></head><body>
+canvas{border:1px solid #444}input{width:56px;background:#222;color:#ccc;border:1px solid #555}
+select{background:#222;color:#ccc}fieldset{border:1px solid #444;margin-top:8px;display:inline-block;vertical-align:top}
+button{background:#333;color:#ccc;border:1px solid #666}</style></head><body>
 <div>arctic_tpu viewer — WASD/space/ctrl move, right-drag look</div>
 <canvas id=c width=%W% height=%H% tabindex=0></canvas>
-<div>
-ambient <input id=ambient value=0.1> gamma <input id=gamma value=2.2>
-exposure <input id=exposure value=1.0>
+<fieldset><legend>stats</legend><div id=stats>-</div>
+<canvas id=plot width=420 height=90></canvas>
+<div style="font-size:11px">yellow: frame ms (left) / cyan: fps (right), last 1000 frames</div></fieldset>
+<fieldset><legend>settings</legend>
+cam speed <input id=speed value=10> sens <input id=sens value=0.5><br>
+cam pos <input id=cpx> <input id=cpy> <input id=cpz>
+rot <input id=crx> <input id=cry><br>
+near <input id=znear value=0.1> far <input id=zfar value=1000><br>
+ambient <input id=ambient value=0.1><br>
+sun pos <input id=spx value=-10> <input id=spy value=32> <input id=spz value=-2.48><br>
+sun rot <input id=srx value=-70> <input id=sry value=12><br>
+sun color <input id=scr value=8> <input id=scg value=8> <input id=scb value=8><br>
+gamma <input id=gamma value=2.2>
 tonemap <select id=tm><option value=0>reinhard</option><option value=1>exposure</option><option value=2>aces</option></select>
-<span id=fps></span></div>
+exposure <input id=exposure value=1.0></fieldset>
+<fieldset><legend>lights (max 16)</legend><div id=lights></div>
+<button id=addlight>Add</button></fieldset>
 <script>
 const c=document.getElementById('c'),ctx=c.getContext('2d');
+const plot=document.getElementById('plot'),pctx=plot.getContext('2d');
 let keys={},dx=0,dy=0,drag=false,t0=performance.now();
+let hist_ms=[],hist_fps=[];
+let camDirty=false;
 c.onmousedown=e=>{if(e.button==2)drag=true};
 c.onmouseup=e=>{if(e.button==2)drag=false};
 c.oncontextmenu=e=>e.preventDefault();
 c.onmousemove=e=>{if(drag){dx+=e.movementX;dy+=e.movementY}};
-window.onkeydown=e=>keys[e.code]=1; window.onkeyup=e=>keys[e.code]=0;
+window.onkeydown=e=>{if(document.activeElement.tagName!=='INPUT')keys[e.code]=1};
+window.onkeyup=e=>keys[e.code]=0;
+const v=id=>document.getElementById(id).value;
+const camIds=['cpx','cpy','cpz','crx','cry'];
+camIds.forEach(id=>{document.getElementById(id).onchange=()=>camDirty=true});
+
+const lightsDiv=document.getElementById('lights');
+function addLightRow(p,col){
+  if(lightsDiv.children.length>=16)return;
+  const d=document.createElement('div');
+  d.innerHTML='pos <input class=lx value='+p[0]+'> <input class=ly value='+p[1]+'> <input class=lz value='+p[2]+
+    '> color <input class=lr value='+col[0]+'> <input class=lg value='+col[1]+'> <input class=lb value='+col[2]+
+    '> <button class=del>x</button>';
+  d.querySelector('.del').onclick=()=>d.remove();
+  lightsDiv.appendChild(d);
+}
+document.getElementById('addlight').onclick=()=>addLightRow([0,1,0],[10,0,0]);
+addLightRow([0,1,0],[10,0,0]);  // default red light (app.hpp:59-62)
+function lightsJson(){
+  return JSON.stringify([...lightsDiv.children].map(d=>({
+    pos:['lx','ly','lz'].map(k=>parseFloat(d.querySelector('.'+k).value)||0),
+    color:['lr','lg','lb'].map(k=>parseFloat(d.querySelector('.'+k).value)||0)})));
+}
+function drawPlot(){
+  pctx.fillStyle='#181818';pctx.fillRect(0,0,420,90);
+  if(!hist_ms.length)return;
+  const maxMs=Math.max(...hist_ms)*1.1,maxFps=Math.max(...hist_fps)*1.1;
+  pctx.strokeStyle='#cc3';pctx.beginPath();
+  hist_ms.forEach((m,i)=>{const x=i*420/1000,y=90-m/maxMs*88;i?pctx.lineTo(x,y):pctx.moveTo(x,y)});
+  pctx.stroke();
+  pctx.strokeStyle='#3cc';pctx.beginPath();
+  hist_fps.forEach((f,i)=>{const x=i*420/1000,y=90-f/maxFps*88;i?pctx.lineTo(x,y):pctx.moveTo(x,y)});
+  pctx.stroke();
+}
 async function loop(){
   const q=new URLSearchParams({
     f:(keys.KeyW?1:0)-(keys.KeyS?1:0), r:(keys.KeyD?1:0)-(keys.KeyA?1:0),
     u:(keys.Space?1:0)-(keys.ControlLeft?1:0), dx:dx, dy:dy,
-    ambient:document.getElementById('ambient').value,
-    gamma:document.getElementById('gamma').value,
-    exposure:document.getElementById('exposure').value,
-    tm:document.getElementById('tm').value});
+    speed:v('speed'), sens:v('sens'), znear:v('znear'), zfar:v('zfar'),
+    ambient:v('ambient'), gamma:v('gamma'), exposure:v('exposure'), tm:v('tm'),
+    sun_pos:[v('spx'),v('spy'),v('spz')].join(','),
+    sun_rot:[v('srx'),v('sry')].join(','),
+    sun_color:[v('scr'),v('scg'),v('scb')].join(','),
+    lights:lightsJson()});
+  if(camDirty){
+    q.set('cam_pos',[v('cpx'),v('cpy'),v('cpz')].join(','));
+    q.set('cam_rot',[v('crx'),v('cry')].join(','));
+    camDirty=false;
+  }
   dx=0;dy=0;
   const r=await fetch('/frame?'+q); const b=await r.blob();
   const img=await createImageBitmap(b); ctx.drawImage(img,0,0);
-  const t1=performance.now();
-  document.getElementById('fps').textContent=' '+(1000/(t1-t0)).toFixed(1)+' fps';
-  t0=t1; requestAnimationFrame(loop);
+  const st=JSON.parse(r.headers.get('X-Stats')||'{}');
+  const t1=performance.now(),ms=t1-t0;t0=t1;
+  hist_ms.push(st.ms||ms);hist_fps.push(1000/(st.ms||ms));
+  if(hist_ms.length>1000){hist_ms.shift();hist_fps.shift()}
+  document.getElementById('stats').textContent=
+    (st.ms||ms).toFixed(1)+' ms  '+(1000/(st.ms||ms)).toFixed(1)+' fps';
+  drawPlot();
+  if(st.cam&&document.activeElement.tagName!=='INPUT'){
+    ['cpx','cpy','cpz'].forEach((id,i)=>document.getElementById(id).value=st.cam.pos[i].toFixed(2));
+    ['crx','cry'].forEach((id,i)=>document.getElementById(id).value=st.cam.rot[i].toFixed(1));
+  }
+  requestAnimationFrame(loop);
 }
 loop();
 </script></body></html>"""
@@ -70,14 +145,23 @@ class ViewerState:
         self.render = render
         self.lock = threading.Lock()
         self.last_time = time.perf_counter()
+        self.stats = FrameStats()
 
         from arctic_tpu.app.camera import FlyCamera
 
         self.fly = FlyCamera()
 
-    def step(self, q: dict) -> bytes:
+    def step(self, q: dict) -> tuple[bytes, dict]:
+        """One viewer frame: apply inputs/settings edits, render, encode.
+
+        Returns (png bytes, stats dict). Mirrors App::update + build_ui
+        (app.cpp:150-171, 402-523): every Settings/Lights field arrives as a
+        query param and is applied before the frame renders.
+        """
         import jax.numpy as jnp
         from PIL import Image
+
+        from arctic_tpu.core.scene import PointLights
 
         def f(name, default=0.0):
             try:
@@ -85,15 +169,64 @@ class ViewerState:
             except ValueError:
                 return default
 
+        def vec(name, n, default=None):
+            if name not in q:
+                return default
+            try:
+                vals = [float(x) for x in q[name][0].split(",")]
+                return vals if len(vals) == n else default
+            except ValueError:
+                return default
+
         with self.lock:
             now = time.perf_counter()
             dt = min(now - self.last_time, 0.1)
             self.last_time = now
+
+            self.fly.speed = f("speed", self.fly.speed)
+            self.fly.sensitivity = f("sens", self.fly.sensitivity)
             cam = self.params.camera
+            cp = vec("cam_pos", 3)
+            cr = vec("cam_rot", 2)
+            if cp is not None:
+                cam = dataclasses.replace(cam, eye=jnp.asarray(cp, jnp.float32))
+            if cr is not None:
+                cam = dataclasses.replace(cam, rotation=jnp.asarray(cr, jnp.float32))
+            cam = dataclasses.replace(
+                cam,
+                z_near=jnp.float32(f("znear", float(cam.z_near))),
+                z_far=jnp.float32(f("zfar", float(cam.z_far))),
+            )
             cam = self.fly.move(cam, dt, f("f"), f("r"), f("u"))
             cam = self.fly.look(cam, f("dx"), f("dy"))
+
+            sun = self.params.sun
+            sp = vec("sun_pos", 3)
+            sr = vec("sun_rot", 2)
+            sc = vec("sun_color", 3)
+            if sp is not None:
+                sun = dataclasses.replace(sun, position=jnp.asarray(sp, jnp.float32))
+            if sr is not None:
+                sun = dataclasses.replace(sun, rotation=jnp.asarray(sr, jnp.float32))
+            if sc is not None:
+                sun = dataclasses.replace(sun, color=jnp.asarray(sc, jnp.float32))
+
+            lights = self.params.point_lights
+            if "lights" in q:
+                try:
+                    spec = json.loads(q["lights"][0])
+                    lights = PointLights.from_list(
+                        [(tuple(l["pos"]), tuple(l["color"])) for l in spec]
+                    )
+                except (ValueError, KeyError, TypeError):
+                    pass
+
             self.params = dataclasses.replace(
-                self.params, camera=cam, ambient=jnp.float32(f("ambient", 0.1))
+                self.params,
+                camera=cam,
+                sun=sun,
+                point_lights=lights,
+                ambient=jnp.float32(f("ambient", 0.1)),
             )
             self.settings = dataclasses.replace(
                 self.settings,
@@ -101,10 +234,21 @@ class ViewerState:
                 exposure=jnp.float32(f("exposure", 1.0)),
                 tm_method=jnp.int32(int(f("tm", 0))),
             )
+            self.stats.tick()
             img = np.asarray(self.render(self.buffers, self.params, self.settings))
+            self.stats.tick()
+            ms = self.stats.history[-1] * 1e3 if self.stats.history else 0.0
+            stats = {
+                "ms": round(ms, 2),
+                "fps": round(1000.0 / ms, 2) if ms else 0.0,
+                "cam": {
+                    "pos": [float(x) for x in np.asarray(self.params.camera.eye)],
+                    "rot": [float(x) for x in np.asarray(self.params.camera.rotation)],
+                },
+            }
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, "PNG")
-        return buf.getvalue()
+        return buf.getvalue(), stats
 
 
 def make_handler(state: ViewerState):
@@ -125,9 +269,10 @@ def make_handler(state: ViewerState):
                 self.end_headers()
                 self.wfile.write(body)
             elif url.path == "/frame":
-                png = state.step(parse_qs(url.query))
+                png, stats = state.step(parse_qs(url.query))
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
+                self.send_header("X-Stats", json.dumps(stats))
                 self.end_headers()
                 self.wfile.write(png)
             elif url.path == "/state":
@@ -140,6 +285,11 @@ def make_handler(state: ViewerState):
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(body)
+            elif url.path == "/stats":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(state.stats.summary().encode())
             else:
                 self.send_response(404)
                 self.end_headers()

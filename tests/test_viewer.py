@@ -55,3 +55,73 @@ def test_viewer_serves_frames_and_moves_camera():
         assert st.status == 200 and b"camera" in st.read()
     finally:
         server.shutdown()
+
+
+def test_viewer_lights_sun_and_stats():
+    """Lights window parity: add/edit point lights + sun + camera-speed via
+    query params (app.cpp:454-523); X-Stats carries frame time + camera."""
+    import json
+    from urllib.parse import quote
+
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64, force_bruteforce=True)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    state = viewer.ViewerState(
+        buffers,
+        default_scene_params(aspect=W / H),
+        default_settings(),
+        config,
+        pipeline.make_renderer(config),
+    )
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), viewer.make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+        lights = [
+            {"pos": [0, 1, 0], "color": [10, 0, 0]},
+            {"pos": [2, 3, -1], "color": [0, 5, 20]},
+        ]
+        q = (
+            "lights=" + quote(json.dumps(lights))
+            + "&sun_pos=1,20,3&sun_rot=-50,30&sun_color=4,5,6"
+            + "&cam_pos=0,4,3&cam_rot=-25,-90&speed=2.5&sens=0.25&znear=0.2&zfar=500"
+        )
+        conn.request("GET", "/frame?" + q)
+        r = conn.getresponse()
+        assert r.status == 200
+        stats = json.loads(r.getheader("X-Stats"))
+        r.read()
+        assert stats["ms"] > 0 and len(stats["cam"]["pos"]) == 3
+
+        # Light add applied (count 2, values uploaded).
+        assert int(state.params.point_lights.count) == 2
+        np.testing.assert_allclose(
+            np.asarray(state.params.point_lights.position[1]), [2, 3, -1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.params.point_lights.color[1]), [0, 5, 20]
+        )
+        # Sun + camera settings applied.
+        np.testing.assert_allclose(np.asarray(state.params.sun.position), [1, 20, 3])
+        np.testing.assert_allclose(np.asarray(state.params.sun.rotation), [-50, 30])
+        np.testing.assert_allclose(np.asarray(state.params.sun.color), [4, 5, 6])
+        assert state.fly.speed == 2.5 and state.fly.sensitivity == 0.25
+        assert float(state.params.camera.z_near) == np.float32(0.2)
+        assert float(state.params.camera.z_far) == 500.0
+
+        # Stats endpoint (ring-buffer summary).
+        conn.request("GET", "/stats")
+        s = conn.getresponse()
+        assert s.status == 200 and b"fps" in s.read()
+
+        # Page carries the Lights/Settings/Stats UI.
+        conn.request("GET", "/")
+        page = conn.getresponse().read()
+        for needle in (b"addlight", b"sun pos", b"cam speed", b"plot"):
+            assert needle in page, needle
+    finally:
+        server.shutdown()

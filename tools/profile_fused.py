@@ -54,6 +54,10 @@ def main():
     )
     settings = default_settings()
 
+    render = pipeline.make_renderer(config)
+    t, _ = timeit(render, bufs, params, settings)
+    print(f"FULL FRAME:           {t*1e3:8.2f} ms   ({1.0/t:.2f} fps)", flush=True)
+
     @jax.jit
     def stage_setup(bufs, params):
         world = pipeline.vertex_world_positions(bufs.geometry)
@@ -63,28 +67,28 @@ def main():
         return world, raster.setup_screen_triangles(clipped, W, H, cull="back")
 
     t, (world, setup) = timeit(stage_setup, bufs, params)
-    print(f"setup(clip+planes):   {t*1e3:8.2f} ms")
+    print(f"setup(clip+planes):   {t*1e3:8.2f} ms", flush=True)
 
     @jax.jit
     def stage_rows(bufs, setup, params):
         return pipeline.build_shade_rows(setup, bufs.geometry, params.sun.proj_view())
 
     t, shade_rows = timeit(stage_rows, bufs, setup, params)
-    print(f"build_shade_rows:     {t*1e3:8.2f} ms   {shade_rows.shape}")
+    print(f"build_shade_rows:     {t*1e3:8.2f} ms   {shade_rows.shape}", flush=True)
 
     @jax.jit
     def stage_gbuf(setup, shade_rows):
         return raster_tiles.raster_gbuffer(setup, shade_rows, H, W, config)
 
     t, (ibuf_tiles, gbuf, pairs) = timeit(stage_gbuf, setup, shade_rows)
-    print(f"raster_gbuffer:       {t*1e3:8.2f} ms   (bin+align+raster+select)")
+    print(f"raster_gbuffer:       {t*1e3:8.2f} ms   (bin+align+raster+select)", flush=True)
 
     @jax.jit
     def stage_shadow(world, params):
         return pipeline.shadow_pass(world, bufs.geometry, params.sun.proj_view(), config)[0]
 
     t, shadow_map = timeit(stage_shadow, world, params)
-    print(f"shadow pass:          {t*1e3:8.2f} ms")
+    print(f"shadow pass:          {t*1e3:8.2f} ms", flush=True)
 
     covered = ibuf_tiles >= 0
 
@@ -95,7 +99,7 @@ def main():
         )
 
     t, hdr = timeit(stage_shade, bufs, params, gbuf, covered, shadow_map)
-    print(f"shade_gbuffer:        {t*1e3:8.2f} ms")
+    print(f"shade_gbuffer:        {t*1e3:8.2f} ms", flush=True)
 
     # shade_gbuffer internals
     uv = gbuf[..., 12:14]
@@ -108,7 +112,7 @@ def main():
         return sample_atlas_combined(bufs.atlas, gbuf[..., 43:47], uv)
 
     t, _ = timeit(stage_tex, bufs, gbuf, uv)
-    print(f"  tex (combined):     {t*1e3:8.2f} ms")
+    print(f"  tex (combined):     {t*1e3:8.2f} ms", flush=True)
 
     @jax.jit
     def stage_pcf(shadow_map, lsp3):
@@ -116,7 +120,7 @@ def main():
         return shadow_ops.pcf_shadow(shadow_map, lsp)
 
     t, _ = timeit(stage_pcf, shadow_map, lsp3)
-    print(f"  pcf:                {t*1e3:8.2f} ms")
+    print(f"  pcf:                {t*1e3:8.2f} ms", flush=True)
 
     @jax.jit
     def stage_post(hdr, settings):
@@ -128,11 +132,9 @@ def main():
         )[:H, :W]
 
     t, _ = timeit(stage_post, hdr, settings)
-    print(f"post+untile:          {t*1e3:8.2f} ms")
+    print(f"post+untile:          {t*1e3:8.2f} ms", flush=True)
 
-    render = pipeline.make_renderer(config)
-    t, _ = timeit(render, bufs, params, settings)
-    print(f"FULL FRAME:           {t*1e3:8.2f} ms   ({1.0/t:.2f} fps)")
+
 
 
 if __name__ == "__main__":
