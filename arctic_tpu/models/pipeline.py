@@ -35,7 +35,11 @@ from arctic_tpu.core.scene import (
     Settings,
 )
 from arctic_tpu.ops import pbr, raster, shadow, sky, tonemap
-from arctic_tpu.ops.sampling import sample_atlas_combined, sample_atlas_multi
+from arctic_tpu.ops.sampling import (
+    sample_atlas_combined,
+    sample_atlas_multi,
+    sample_quads_flat,
+)
 
 Array = jnp.ndarray
 
@@ -338,71 +342,103 @@ def shade_gbuffer(
     tiles_x: int,
     tile_row0=0,
 ) -> Array:
-    """forward.hlsl ps_main over the fused kernel's G-buffer (tile-major).
+    """forward.hlsl ps_main over the fused kernel's G-buffer, CHANNEL-FIRST.
 
-    gbuf: (T, S, GBUF_LANES) from ops.raster_tiles.raster_gbuffer — already
-    perspective-interpolated, so this is pure per-pixel math + the texture /
-    PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv, 14:17
-    light-space xyz, 24:36 atlas regions, 36:40 mr const, 40:43 nm const].
-    Returns HDR (T, S, 3).
+    gbuf: (T, GBUF_LANES, S) attr-major from ops.raster_tiles.raster_gbuffer
+    — already perspective-interpolated, so this is pure per-pixel math + the
+    texture / PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv,
+    14:17 light-space xyz, 24:36 atlas regions, 36:40 mr const, 40:43 nm
+    const, 43:47 combined-atlas region]. Returns HDR (T, 3, S).
+
+    Everything here keeps the PIXEL dim minor (vectors (T, 3, S), scalars
+    (T, 1, S) or (T, S)): XLA assigns non-standard layouts to channel-LAST
+    (pixels, 3) elementwise chains and paid ~200 ms/frame in layout copies.
     """
-    t_tiles, s_pix = covered.shape
-    wp = gbuf[..., 0:3]
-    n_v = gbuf[..., 3:6]
-    t_v = gbuf[..., 6:9]
-    b_v = gbuf[..., 9:12]
-    uv = gbuf[..., 12:14]
-    lsp3 = gbuf[..., 14:17]
-    regions = gbuf[..., 24:36].reshape(t_tiles, s_pix, 3, 4)
-
     atlas = buffers.atlas
+    wp = gbuf[:, 0:3, :]  # (T, 3, S)
+    n_v = gbuf[:, 3:6, :]
+    t_v = gbuf[:, 6:9, :]
+    b_v = gbuf[:, 9:12, :]
+    u_uv = gbuf[:, 12, :]  # (T, S)
+    v_uv = gbuf[:, 13, :]
+
+    def ch3(flat, base):  # (..., C) flat tap -> (T, 3, S)
+        return jnp.stack([flat[..., base + i] for i in range(3)], axis=1)
+
     if atlas.combined_slots is not None:
         # All of this material's texture slots in ONE row gather.
-        tex = sample_atlas_combined(atlas, gbuf[..., 43:47], uv)
+        tex = sample_quads_flat(
+            atlas.combined_quads, atlas.combined_block_grid,
+            gbuf[:, 43, :], gbuf[:, 44, :], gbuf[:, 45, :], gbuf[:, 46, :],
+            u_uv, v_uv,
+        )  # (T, S, 4 * n_slots)
+        slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
+        base_color = ch3(tex, slot_base[0])
+        nm = ch3(tex, slot_base[1]) if 1 in slot_base else None
+        mr_g = tex[..., slot_base[2] + 1] if 2 in slot_base else None
+        mr_b = tex[..., slot_base[2] + 2] if 2 in slot_base else None
     else:
-        slots = [0] + ([1] if not atlas.nm_constant else []) + (
-            [2] if not atlas.mr_constant else []
-        )
-        regs = jnp.stack([regions[..., i, :] for i in slots], axis=-2)
-        tex = sample_atlas_multi(atlas, regs, uv)
-    base_color = tex[..., 0, :3]
-    k = 1
-    if atlas.nm_constant:
-        nm = gbuf[..., 40:43]
+        # Per-slot taps from the plain atlas (fallback when material texture
+        # sizes are incompatible with combining).
+        def tap(slot):
+            return sample_quads_flat(
+                atlas.quads, atlas.block_grid,
+                gbuf[:, 24 + 4 * slot, :], gbuf[:, 25 + 4 * slot, :],
+                gbuf[:, 26 + 4 * slot, :], gbuf[:, 27 + 4 * slot, :],
+                u_uv, v_uv,
+            )
+
+        base_color = ch3(tap(0), 0)
+        nm = None if atlas.nm_constant else ch3(tap(1), 0)
+        if atlas.mr_constant:
+            mr_g = mr_b = None
+        else:
+            t2 = tap(2)
+            mr_g, mr_b = t2[..., 1], t2[..., 2]
+
+    if nm is None:
+        nm = gbuf[:, 40:43, :]
+    if mr_g is None:
+        metalness = gbuf[:, 38:39, :]  # mr const blue (T, 1, S)
+        roughness = gbuf[:, 37:38, :]  # mr const green
     else:
-        nm = tex[..., k, :3]
-        k += 1
-    mr = gbuf[..., 36:40] if atlas.mr_constant else tex[..., k, :]
+        metalness = mr_b[:, None, :]
+        roughness = mr_g[:, None, :]
 
     # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
-    nm = nm.at[..., 1].set(1.0 - nm[..., 1])
+    nm = jnp.concatenate(
+        [nm[:, 0:1, :], 1.0 - nm[:, 1:2, :], nm[:, 2:3, :]], axis=1
+    )
     nm = nm * 2.0 - 1.0
-    n = maths.normalize(t_v * nm[..., 0:1] + b_v * nm[..., 1:2] + n_v * nm[..., 2:3])
-    metalness = mr[..., 2]
-    roughness = mr[..., 1]
+    n = t_v * nm[:, 0:1, :] + b_v * nm[:, 1:2, :] + n_v * nm[:, 2:3, :]
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=1, keepdims=True))
 
     # Sun shadow term (the sun is orthographic so light-space w == 1; the
     # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
-    lsp = jnp.concatenate([lsp3, jnp.ones_like(lsp3[..., :1])], axis=-1)
-    shadow_f = shadow.pcf_shadow(shadow_map, lsp)
-    lit = (1.0 - shadow_f)[..., None]
+    shadow_f = shadow.pcf_shadow_proj(
+        shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :]
+    )
+    lit = (1.0 - shadow_f)[:, None, :]  # (T, 1, S)
 
     eye = params.camera.eye
-    wo = maths.normalize(eye[None, None, :] - wp)
+    wo = eye[None, :, None] - wp
+    wo = wo / jnp.sqrt(jnp.sum(wo * wo, axis=1, keepdims=True))
     sun_dir = params.sun.direction()
-    lo = lit * pbr.outgoing_radiance(
-        n, wo, -sun_dir[None, None, :], params.sun.color[None, None, :],
+    lo = lit * pbr.outgoing_radiance_cf(
+        n, wo, -sun_dir[None, :, None], params.sun.color[None, :, None],
         base_color, metalness, roughness,
     )
 
     def light_body(i, acc):
         lpos = params.point_lights.position[i]
         lcol = params.point_lights.color[i]
-        ldir = lpos[None, None, :] - wp
-        dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
-        wi = ldir / dist[..., None]
-        radiance = lcol[None, None, :] / (dist * dist)[..., None]
-        return acc + lit * pbr.outgoing_radiance(
+        ldir = lpos[None, :, None] - wp
+        dist = jnp.maximum(
+            jnp.sqrt(jnp.sum(ldir * ldir, axis=1, keepdims=True)), 1e-12
+        )
+        wi = ldir / dist
+        radiance = lcol[None, :, None] / (dist * dist)
+        return acc + lit * pbr.outgoing_radiance_cf(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
 
@@ -411,16 +447,19 @@ def shade_gbuffer(
     color = lo + params.ambient * base_color
 
     # Skybox where no geometry wrote depth, via per-pixel tile coords.
+    t_tiles, s_pix = covered.shape
     tw, th = config.tile_w, config.tile_h
     t_idx = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
     p_idx = jnp.arange(s_pix, dtype=jnp.int32)[None, :]
     px = ((t_idx % tiles_x) * tw + p_idx % tw).astype(jnp.float32) + 0.5
     py = ((tile_row0 + t_idx // tiles_x) * th + p_idx // tw).astype(jnp.float32) + 0.5
-    dirs = sky.camera_ray_directions_at(
+    dx, dy, dz = sky.camera_ray_dirs_cf(
         params.camera, px, py, config.width, config.height
     )
-    background = sky.sample_environment(buffers.environment, dirs)
-    return jnp.where(covered[..., None], color, background)
+    background = jnp.stack(
+        sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=1
+    )
+    return jnp.where(covered[:, None, :], color, background)
 
 
 def render_frame_stats(
@@ -460,9 +499,15 @@ def render_frame_stats(
                 clipped, config.width, config.height, cull="back"
             )
             shade_rows = build_shade_rows(setup, geom, sun_pv)
+            # Materialization fence: without it XLA fuses the row-table
+            # concat into the 600k-row alignment gather's consumer, and the
+            # full-frame program runs ~2x slower than the stages do in
+            # isolation (measured 713 ms vs 344 ms stage sum).
+            shade_rows = jax.lax.optimization_barrier(shade_rows)
             ibuf_tiles, gbuf, cam_pairs = raster_tiles.raster_gbuffer(
                 setup, shade_rows, config.height, config.width, config
             )
+            ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
         cam_cap = config.pair_capacity(setup.capacity)
         with jax.named_scope("forward_shade_skybox"):
             hdr = shade_gbuffer(
@@ -482,13 +527,16 @@ def render_frame_stats(
             # R16G16B16A16_FLOAT storage rounding (renderer.cpp:128-144).
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)
 
-        ldr = tonemap.tonemap(hdr, settings.tm_method, settings.gamma, settings.exposure)
+        ldr = tonemap.tonemap(
+            hdr, settings.tm_method, settings.gamma, settings.exposure,
+            channel_axis=-2 if fused else -1,
+        )
         img = tonemap.to_unorm8(ldr)
 
     if fused:
-        from arctic_tpu.ops.raster_tiles import untile_channels
+        from arctic_tpu.ops.raster_tiles import untile_channels_first
 
-        img = untile_channels(
+        img = untile_channels_first(
             img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
         )[: config.height, : config.width]
 

@@ -79,3 +79,62 @@ def outgoing_radiance(
     k_d = (1.0 - fresnel) * (1.0 - metalness)[..., None]
     n_dot_wi = jnp.maximum(_dot(n, wi), 0.0)
     return (k_d * base_color / PI + specular) * ingoing_radiance * n_dot_wi[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Channel-first variants (vectors (..., 3, S), scalars (..., 1, S))
+# ---------------------------------------------------------------------------
+# Same math as above, with the channel axis second-to-last so the PIXEL axis
+# stays minor. On TPU, XLA assigns pathological layouts (and ~200 ms/frame
+# of layout copies at 1080p) to channel-LAST (..., pixels, 3) elementwise
+# chains at loop/cond boundaries; channel-first shapes keep the standard
+# layout everywhere. Used by the fused tile-major shading path.
+
+
+def _dot_cf(a: Array, b: Array) -> Array:
+    return jnp.sum(a * b, axis=-2, keepdims=True)  # (..., 1, S)
+
+
+def distribution_ggx_cf(n: Array, h: Array, roughness: Array) -> Array:
+    a = roughness * roughness
+    a2 = a * a
+    n_dot_h = jnp.maximum(_dot_cf(n, h), 0.0)
+    denom = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / (PI * denom * denom)
+
+
+def geometry_smith_cf(n: Array, wo: Array, wi: Array, roughness: Array) -> Array:
+    n_dot_wo = jnp.maximum(_dot_cf(n, wo), 0.0)
+    n_dot_wi = jnp.maximum(_dot_cf(n, wi), 0.0)
+    return geometry_schlick_ggx(n_dot_wo, roughness) * geometry_schlick_ggx(
+        n_dot_wi, roughness
+    )
+
+
+def outgoing_radiance_cf(
+    n: Array,
+    wo: Array,
+    wi: Array,
+    ingoing_radiance: Array,
+    base_color: Array,
+    metalness: Array,
+    roughness: Array,
+) -> Array:
+    """calculate_outgoing_radiance, channel-first: vectors (..., 3, S),
+    metalness/roughness (..., 1, S); returns (..., 3, S)."""
+    h = wo + wi
+    h = h / jnp.sqrt(jnp.sum(h * h, axis=-2, keepdims=True))
+    f0 = jnp.full_like(base_color, 0.04)
+    f0 = f0 + (base_color - f0) * metalness
+    fresnel = fresnel_schlick(jnp.maximum(_dot_cf(h, wo), 0.0), f0)
+    ndf = distribution_ggx_cf(n, h, roughness)
+    geo = geometry_smith_cf(n, wo, wi, roughness)
+    num = ndf * geo * fresnel
+    denom = (
+        4.0 * jnp.maximum(_dot_cf(n, wo), 0.0) * jnp.maximum(_dot_cf(n, wi), 0.0)
+        + 1e-4
+    )
+    specular = num / denom
+    k_d = (1.0 - fresnel) * (1.0 - metalness)
+    n_dot_wi = jnp.maximum(_dot_cf(n, wi), 0.0)
+    return (k_d * base_color / PI + specular) * ingoing_radiance * n_dot_wi

@@ -143,6 +143,18 @@ def untile_channels(
     )
 
 
+def untile_channels_first(
+    buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int
+) -> Array:
+    """(num_tiles, C, S) channel-first tile-major pixels -> (Hp, Wp, C)."""
+    c = buf.shape[1]
+    return (
+        buf.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
+    )
+
+
 # --------------------------------------------------------------------------
 # Fused select+interp kernel (the deferred-shading gather killer)
 # --------------------------------------------------------------------------
@@ -180,10 +192,14 @@ def _select_kernel(
     ibuf that the deferred path paid ~14 ns/row XLA gathers for (shade-table
     row fetch + attribute interpolation) happens here in VMEM/VREGs.
 
-    Work is attr-major: acc is (128 row lanes, 128 pixels), so the
+    Work is attr-major: acc is (128 row lanes, 128 pixels), the
     interpolation's field accesses are 8-aligned sublane slices, and the
-    final (GBUF_LANES, 128) block is transposed once on write to give the
-    channel-last (pixels, GBUF_LANES) layout the XLA shading code consumes.
+    G-buffer is emitted attr-major (GBUF_LANES, pixels) — the downstream XLA
+    shading is written channel-first so every hot array keeps the PIXEL dim
+    minor. (Channel-last (pixels, C) output was tried first: XLA assigns
+    {1,2,0:T(4,128)} layouts to small-minor elementwise fusions but standard
+    layouts at loop/cond/custom-call boundaries, inserting ~200 ms/frame of
+    layout copies at 1080p.)
     """
     t = pl.program_id(0)
     start = seg_start_ref[t]
@@ -260,7 +276,7 @@ def _select_kernel(
         blk = jnp.concatenate(
             [attr, acc[88:112, :], jnp.zeros((16, 128), jnp.float32)], axis=0
         )  # (GBUF_LANES, 128) attr-major
-        out_ref[0, pl.ds(128 * s, 128), :] = blk.T
+        out_ref[0, :, pl.ds(128 * s, 128)] = blk
 
 
 def select_interp_tiles(
@@ -279,7 +295,7 @@ def select_interp_tiles(
 
     shade_rows: (P_pad, 128) from pipeline.build_shade_rows.
     it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
-    Returns (num_tiles, S, GBUF_LANES) f32, channel-last.
+    Returns (num_tiles, GBUF_LANES, S) f32, attr-major (pixel dim minor).
     """
     assert 128 % tile_w == 0, "tile_w must divide a lane row"
     num_tiles = tiles_x * tile_rows
@@ -296,7 +312,7 @@ def select_interp_tiles(
             pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, sublanes * 128, GBUF_LANES), lambda i, *_: (i, 0, 0)
+            (1, GBUF_LANES, sublanes * 128), lambda i, *_: (i, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 128), jnp.float32),
@@ -310,7 +326,7 @@ def select_interp_tiles(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, sublanes * 128, GBUF_LANES), jnp.float32, vma=frozenset(vma)
+            (num_tiles, GBUF_LANES, sublanes * 128), jnp.float32, vma=frozenset(vma)
         ),
         interpret=_interpret(),
     )(segs.seg_start, segs.seg_len, row0_arr, rows, it_tiles)

@@ -113,7 +113,11 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
         ],
         interpret=jax.default_backend() != "tpu",
     )(in4, _select_mats())
-    return lut.reshape(4 * 4 * sq8 * 32 * xb * 32, 16), sq8 * 32, xb
+    # PACKED view: 8 windows per 128-lane row (window j at lanes
+    # [16*(j%8), 16*(j%8)+16) of row j//8). reshape(-1, 128) is
+    # layout-preserving (both minors are dense 128-multiples), unlike the
+    # old (N, 16) view which cost a 33 ms relayout copy of the 1 GB table.
+    return lut.reshape(-1, 128), sq8 * 32, xb
 
 
 def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
@@ -122,13 +126,23 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None =
     shadow_map: (S, S) f32 depth from the sun pass (cleared to 1.0).
     light_space_pos: (..., 4) clip-space position under the sun's proj_view.
     """
-    s = shadow_map.shape[0]
-    assert shadow_map.shape == (s, s)
     w = light_space_pos[..., 3]
     proj = light_space_pos[..., :3] / w[..., None]
-    u = proj[..., 0] * 0.5 + 0.5
-    v = 1.0 - (proj[..., 1] * 0.5 + 0.5)
-    z = proj[..., 2]
+    return pcf_shadow_proj(
+        shadow_map, proj[..., 0], proj[..., 1], proj[..., 2], use_lut=use_lut
+    )
+
+
+def pcf_shadow_proj(
+    shadow_map: Array, x: Array, y: Array, z: Array, use_lut: bool | None = None
+) -> Array:
+    """pcf_shadow on already-divided NDC components (channel-first callers
+    pass the three (..., S) planes directly; the sun is orthographic so the
+    fused path's interpolated xyz needs no divide)."""
+    s = shadow_map.shape[0]
+    assert shadow_map.shape == (s, s)
+    u = x * 0.5 + 0.5
+    v = 1.0 - (y * 0.5 + 0.5)
     outside = (z > 1.0) | (u < 0.0) | (v < 0.0) | (u > 1.0) | (v > 1.0)
 
     # Texel-space center tap (D3D: t = uv * size - 0.5).
@@ -151,11 +165,17 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None =
     if use_lut is None:
         use_lut = jax.default_backend() == "tpu"
     if use_lut:
-        lut, sq, xb = build_window_lut(shadow_map)
-        idx = (
+        lutp, sq, xb = build_window_lut(shadow_map)
+        j = (
             ((start_y % 4) * 4 + start_x % 4) * sq + start_y // 4
         ) * (xb * 32) + start_x // 4
-        window = lut[idx].reshape(tx.shape + (4, 4))
+        row = lutp[j // 8]  # (..., 128): 8 packed windows, one row gather
+        k = j % 8
+        window = row[..., 0:16]
+        for kk in range(1, 8):
+            window = jnp.where(
+                (k == kk)[..., None], row[..., 16 * kk : 16 * kk + 16], window
+            )  # flat (..., 16), lanes [r*4 + c]
     else:
         padded = jnp.pad(shadow_map, 2, mode="wrap")
         sp = s + 4
@@ -163,15 +183,15 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None =
         xq = (sp + 3 + 3) // 4
         padded2 = jnp.pad(padded, ((0, yq * 4 - sp), (0, xq * 4 + 3 - sp)))
         classes = []
-        for k in range(4):
+        for kcl in range(4):
             for sx in range(4):
-                classes.append(padded2[k::4, sx : sx + 4 * xq].reshape(yq, xq, 4))
+                classes.append(padded2[kcl::4, sx : sx + 4 * xq].reshape(yq, xq, 4))
         runs = jnp.stack(classes).reshape(16 * yq * xq, 4)
         sx_c = start_x % 4
         qx = start_x // 4
-        y = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
-        idx = (((y % 4) * 4 + sx_c[..., None]) * yq + y // 4) * xq + qx[..., None]
-        window = runs[idx]  # one batched gather -> (..., 4, 4)
+        yrow = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
+        idx = (((yrow % 4) * 4 + sx_c[..., None]) * yq + yrow // 4) * xq + qx[..., None]
+        window = runs[idx].reshape(start_y.shape + (16,))  # (..., 16) flat
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)
@@ -180,7 +200,7 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None =
     # indices can only be 0..2 while |offset| <= 0.8 texels + bilinear),
     # keeping the lerp arithmetic bit-identical to SampleLevel and avoiding
     # data-dependent gathers entirely.
-    rows = [window[..., r, :] for r in range(4)]  # each (..., 4)
+    rows = [window[..., 4 * r : 4 * r + 4] for r in range(4)]  # each (..., 4)
 
     def sel3(i, a, b, c):
         return jnp.where((i == 0)[..., None], a, jnp.where((i == 1)[..., None], b, c))

@@ -44,6 +44,41 @@ def sample_environment(env, direction: Array) -> Array:
     return sample_bilinear_wrap(data, uv)
 
 
+def sample_environment_cf(env, dx: Array, dy: Array, dz: Array):
+    """Channel-first sample_environment: ray components as same-shaped
+    arrays, returns (r, g, b) channel arrays. Keeps the pixel dim minor for
+    the fused tile-major path (no (..., 3) small-minor intermediates)."""
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    nx, ny, nz = dx / norm, dy / norm, dz / norm
+    u = jnp.arctan2(nz, nx) * INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) * INV_ATAN[1] + 0.5
+    v = -v  # skybox.hlsl:83
+    atlas = getattr(env, "atlas", None)
+    if atlas is not None:
+        from arctic_tpu.ops.sampling import sample_quads_flat
+
+        reg = atlas.regions[0, 0]
+        out = sample_quads_flat(
+            atlas.quads, atlas.block_grid, reg[0], reg[1], reg[2], reg[3], u, v
+        )
+        return out[..., 0], out[..., 1], out[..., 2]
+    data = getattr(env, "data", env)
+    out = sample_bilinear_wrap(data, jnp.stack([u, v], axis=-1))
+    return out[..., 0], out[..., 1], out[..., 2]
+
+
+def camera_ray_dirs_cf(camera, px: Array, py: Array, width: int, height: int):
+    """Channel-first camera_ray_directions_at: returns (dx, dy, dz) arrays."""
+    x_ndc = px / width * 2.0 - 1.0
+    y_ndc = 1.0 - py / height * 2.0
+    t = jnp.tan(jnp.radians(camera.fov_y) * 0.5)
+    dvx = x_ndc * camera.aspect * t
+    dvy = y_ndc * t
+    view = maths.camera_view_matrix(camera.eye, camera.rotation)
+    rot = view[:3, :3]  # rows: right, up, -forward; world dir_i = sum_j rot[j,i] dv_j
+    return tuple(rot[0, i] * dvx + rot[1, i] * dvy - rot[2, i] for i in range(3))
+
+
 def camera_ray_directions_at(camera, px: Array, py: Array, width: int, height: int) -> Array:
     """World-space view rays at arbitrary pixel-center coordinate arrays.
 

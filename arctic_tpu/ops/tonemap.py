@@ -55,10 +55,15 @@ def _rrt_and_odt_fit(color: Array) -> Array:
     return a / b
 
 
-def tm_aces(color: Array) -> Array:
-    c = jnp.einsum("ij,...j->...i", ACES_INPUT_MAT, color)
-    c = _rrt_and_odt_fit(c)
-    c = jnp.einsum("ij,...j->...i", ACES_OUTPUT_MAT, c)
+def tm_aces(color: Array, channel_axis: int = -1) -> Array:
+    if channel_axis == -1:
+        c = jnp.einsum("ij,...j->...i", ACES_INPUT_MAT, color)
+        c = _rrt_and_odt_fit(c)
+        c = jnp.einsum("ij,...j->...i", ACES_OUTPUT_MAT, c)
+    else:  # channel-first (..., 3, S): pixel dim stays minor
+        c = jnp.einsum("ij,...js->...is", ACES_INPUT_MAT, color)
+        c = _rrt_and_odt_fit(c)
+        c = jnp.einsum("ij,...js->...is", ACES_OUTPUT_MAT, c)
     return jnp.clip(c, 0.0, 1.0)  # saturate
 
 
@@ -66,18 +71,22 @@ def correct_gamma(color: Array, gamma: Array) -> Array:
     return jnp.abs(color) ** (1.0 / gamma)
 
 
-def tonemap(color: Array, tm_method: Array, gamma: Array, exposure: Array) -> Array:
+def tonemap(
+    color: Array, tm_method: Array, gamma: Array, exposure: Array,
+    channel_axis: int = -1,
+) -> Array:
     """Full post-process chain (post_process.hlsl:74-92).
 
     tm_method is a traced int32 — lax.switch keeps one compiled frame program
     for all three operators (the reference keeps one PSO with a CB switch).
+    channel_axis=-2 for the fused path's channel-first (..., 3, S) frames.
     """
     mapped = jax.lax.switch(
         jnp.clip(tm_method, 0, 2),
         [
             lambda c: tm_reinhard(c),
             lambda c: tm_exposure(c, exposure),
-            lambda c: tm_aces(c),
+            lambda c: tm_aces(c, channel_axis),
         ],
         color,
     )

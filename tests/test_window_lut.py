@@ -21,8 +21,9 @@ def test_pcf_paths_bit_identical(rng):
 def test_window_lut_exact(rng):
     s = 64
     smap = rng.uniform(0.1, 0.9, (s, s)).astype(np.float32)
-    lut, sq, xb = shadow.build_window_lut(jnp.asarray(smap))
-    lut = np.asarray(lut)
+    lutp, sq, xb = shadow.build_window_lut(jnp.asarray(smap))
+    # Packed rows: window j lives at lanes [16*(j%8), +16) of row j//8.
+    lut = np.asarray(lutp).reshape(-1, 16)
     padded = np.pad(smap, 2, mode="wrap")
     # Check a spread of window origins, including borders and odd phases.
     for y in [0, 1, 2, 3, 5, 17, s - 1, s]:

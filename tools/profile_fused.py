@@ -101,33 +101,34 @@ def main():
     t, hdr = timeit(stage_shade, bufs, params, gbuf, covered, shadow_map)
     print(f"shade_gbuffer:        {t*1e3:8.2f} ms", flush=True)
 
-    # shade_gbuffer internals
-    uv = gbuf[..., 12:14]
-    lsp3 = gbuf[..., 14:17]
-
+    # shade_gbuffer internals (channel-first)
     @jax.jit
-    def stage_tex(bufs, gbuf, uv):
-        from arctic_tpu.ops.sampling import sample_atlas_combined
+    def stage_tex(bufs, gbuf):
+        from arctic_tpu.ops.sampling import sample_quads_flat
 
-        return sample_atlas_combined(bufs.atlas, gbuf[..., 43:47], uv)
+        a = bufs.atlas
+        return sample_quads_flat(
+            a.combined_quads, a.combined_block_grid,
+            gbuf[:, 43, :], gbuf[:, 44, :], gbuf[:, 45, :], gbuf[:, 46, :],
+            gbuf[:, 12, :], gbuf[:, 13, :])
 
-    t, _ = timeit(stage_tex, bufs, gbuf, uv)
+    t, _ = timeit(stage_tex, bufs, gbuf)
     print(f"  tex (combined):     {t*1e3:8.2f} ms", flush=True)
 
     @jax.jit
-    def stage_pcf(shadow_map, lsp3):
-        lsp = jnp.concatenate([lsp3, jnp.ones_like(lsp3[..., :1])], axis=-1)
-        return shadow_ops.pcf_shadow(shadow_map, lsp)
+    def stage_pcf(shadow_map, gbuf):
+        return shadow_ops.pcf_shadow_proj(
+            shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :])
 
-    t, _ = timeit(stage_pcf, shadow_map, lsp3)
+    t, _ = timeit(stage_pcf, shadow_map, gbuf)
     print(f"  pcf:                {t*1e3:8.2f} ms", flush=True)
 
     @jax.jit
     def stage_post(hdr, settings):
         x = hdr.astype(jnp.float16).astype(jnp.float32)
-        ldr = tonemap.tonemap(x, settings.tm_method, settings.gamma, settings.exposure)
+        ldr = tonemap.tonemap(x, settings.tm_method, settings.gamma, settings.exposure, channel_axis=-2)
         img = tonemap.to_unorm8(ldr)
-        return raster_tiles.untile_channels(
+        return raster_tiles.untile_channels_first(
             img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
         )[:H, :W]
 
