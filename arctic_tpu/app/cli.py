@@ -139,6 +139,14 @@ def cmd_render(args) -> int:
         exposure=jnp.float32(args.exposure),
     )
 
+    if not (args.raytrace or args.devices or config.force_bruteforce):
+        # Size the pair buffers to the scene (binning costs scale with
+        # capacity, not pairs; one cheap count-only compile).
+        config = pipeline.autotune_pair_caps(buffers, params, config)
+        log.info(
+            "pair caps: cam=%d shadow=%d", config.pair_cap_cam, config.pair_cap_shadow
+        )
+
     if args.raytrace:
         from arctic_tpu.models import raytrace
 

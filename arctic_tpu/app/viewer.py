@@ -339,9 +339,14 @@ def main(argv=None):
         force_bruteforce=args.bruteforce,
     )
     buffers = build_buffers(meshes, objects, materials, env)
+    params = default_scene_params(aspect=args.width / args.height)
+    if not config.force_bruteforce:
+        # Interactive camera roams, so use a generous margin over the
+        # initial viewpoint's measured pair counts.
+        config = pipeline.autotune_pair_caps(buffers, params, config, margin=4.0)
     state = ViewerState(
         buffers,
-        default_scene_params(aspect=args.width / args.height),
+        params,
         default_settings(),
         config,
         pipeline.make_renderer(config),

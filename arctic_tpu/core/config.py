@@ -47,6 +47,16 @@ class RenderConfig:
     pairs_per_tri: int = 2
     pair_reserve: int = 65536
 
+    # Tight per-pass pair capacities (None = the pairs_per_tri formula).
+    # Binning's sort/align/gather costs scale with CAPACITY, not with the
+    # pairs actually generated (measured: 27.8 ms sort + 23.7 ms align at a
+    # 1.07M cap vs 214k real pairs at 1080p) — pipeline.autotune_pair_caps()
+    # measures a frame and returns a config with ~2x-headroom caps.
+    # Recompile-per-scene is the PSO-build analogue; overflow stays loud
+    # (pipeline.check_stats raises if pairs ever exceed the cap).
+    pair_cap_cam: int | None = None
+    pair_cap_shadow: int | None = None
+
     # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):
     # round shaded HDR values to f16 before the post-process pass.
     hdr_half_round: bool = True
@@ -93,5 +103,8 @@ class RenderConfig:
     def with_resolution(self, width: int, height: int) -> "RenderConfig":
         return replace(self, width=width, height=height)
 
-    def pair_capacity(self, tri_capacity: int) -> int:
+    def pair_capacity(self, tri_capacity: int, kind: str = "cam") -> int:
+        override = self.pair_cap_cam if kind == "cam" else self.pair_cap_shadow
+        if override is not None:
+            return _round_up(override, 1024)
         return _round_up(self.pairs_per_tri * tri_capacity + self.pair_reserve, 1024)

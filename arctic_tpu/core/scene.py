@@ -162,6 +162,9 @@ class Geometry:
     # ~38 ms/frame in them). None on hand-built Geometry; io.build fills them.
     tri_corner_pos: jnp.ndarray = None  # (T, 3, 3) f32 object-space corners
     tri_obj: jnp.ndarray = None  # (T,) i32 object id per triangle
+    tri_trs: jnp.ndarray = None  # (T, 4, 4) f32 world TRS per triangle
+    #   (= object_trs[tri_obj] gathered once at build; saves a 64B-row
+    #    gather per triangle per frame)
     tri_static_attrs: jnp.ndarray = None  # (T, 3, 11) f32 [n, t, b, uv]/corner
     tri_matrow: jnp.ndarray = None  # (T, 23) f32 [regions 12, mr_c 4, nm_c 3, combined region 4]
 

@@ -259,6 +259,7 @@ def build_buffers(
         num_tris=jnp.int32(num_tris),
         tri_corner_pos=jnp.asarray(tri_corner_pos),
         tri_obj=jnp.asarray(tri_obj),
+        tri_trs=jnp.asarray(np.stack(trs_list)[tri_obj].astype(np.float32)),
         tri_static_attrs=jnp.asarray(tri_static_attrs),
         tri_matrow=None,  # filled below once the atlas regions exist
     )

@@ -60,12 +60,42 @@ def to_clip(world: Array, proj_view: Array) -> Array:
     return jnp.matmul(wh, proj_view.T, precision=jax.lax.Precision.HIGHEST)
 
 
+def world_corners(geom: Geometry) -> Array:
+    """Tri-major world-space corner positions (T, 3, 3), zero gathers.
+
+    The per-vertex formulation (vertex_world_positions + clip_verts[indices])
+    pays 3T latency-bound row gathers per raster pass; the tri-major corners
+    and per-triangle TRS are precomputed at scene build, so this is one
+    batched small matmul."""
+    trs = geom.tri_trs
+    if trs is None:  # hand-built Geometry without build_buffers
+        trs = geom.object_trs[geom.tri_obj]
+    t_cap = geom.capacity
+    ph = jnp.concatenate(
+        [geom.tri_corner_pos, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1
+    )
+    return jnp.einsum(
+        "tij,tkj->tki", trs, ph, precision=jax.lax.Precision.HIGHEST
+    )[..., :3]
+
+
+def corners_clip(wc: Array, proj_view: Array) -> Array:
+    """(T, 3, 3) world corners -> (T, 3, 4) clip positions."""
+    wch = jnp.concatenate(
+        [wc, jnp.ones(wc.shape[:2] + (1,), jnp.float32)], axis=-1
+    )
+    return jnp.einsum(
+        "ij,tkj->tki", proj_view, wch, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _rasterize(
     setup: raster.TriSetup,
     height: int,
     width: int,
     config: RenderConfig,
     tile: int | None = None,
+    kind: str = "cam",
 ):
     """Returns (zbuf, ibuf, pairs_used, pair_cap). The brute-force path has
     no pair buffer, so it can never overflow (reported as 0/1)."""
@@ -77,23 +107,31 @@ def _rasterize(
     from arctic_tpu.ops import raster_tiles
 
     zbuf, ibuf, pairs = raster_tiles.rasterize_tiled(
-        setup, height, width, config, tile_h=tile, tile_w=tile, with_pairs=True
+        setup, height, width, config, tile_h=tile, tile_w=tile, with_pairs=True,
+        kind=kind,
     )
-    return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity)
+    return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity, kind)
 
 
-def shadow_pass(world: Array, geom: Geometry, sun_pv: Array, config: RenderConfig) -> Array:
+def shadow_pass(
+    geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip: Array | None = None
+) -> Array:
     """Depth-only pass from the sun's view (shadow_map_pass.cpp:113-169).
 
     Front-face culling for acne control (shadow_map_pass.cpp:97); the map is
-    cleared to 1.0 and keeps z of the nearest *back* faces.
+    cleared to 1.0 and keeps z of the nearest *back* faces. ``sun_clip``
+    (tri-major (T, 3, 4) corner clip positions) may be passed in to share the
+    transform with the shade-row build.
     """
-    clip = to_clip(world, sun_pv)
+    if sun_clip is None:
+        sun_clip = corners_clip(world_corners(geom), sun_pv)
     tri_valid = jnp.arange(geom.capacity) < geom.num_tris
-    clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
+    clipped = raster.near_clip_corners(sun_clip, tri_valid)
     s = config.shadow_size
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
-    zbuf, _, pairs, cap = _rasterize(setup, s, s, config, tile=config.shadow_tile)
+    zbuf, _, pairs, cap = _rasterize(
+        setup, s, s, config, tile=config.shadow_tile, kind="shadow"
+    )
     return zbuf, pairs, cap
 
 
@@ -153,7 +191,13 @@ def build_shade_table(
     return jnp.concatenate(parts, axis=1)
 
 
-def build_shade_rows(setup: raster.TriSetup, geom: Geometry, sun_pv: Array) -> Array:
+def build_shade_rows(
+    setup: raster.TriSetup,
+    geom: Geometry,
+    sun_pv: Array,
+    wc: Array | None = None,
+    lsp: Array | None = None,
+) -> Array:
     """Full 128-lane shade rows per slot for the fused select+interp kernel.
 
     Unlike build_shade_table (the deferred path), this build performs NO
@@ -177,18 +221,12 @@ def build_shade_rows(setup: raster.TriSetup, geom: Geometry, sun_pv: Array) -> A
     p = setup.capacity
     assert p == 2 * t_cap, "clip slots must be [primary; secondary] tri-major"
 
-    # World + light-space corners via per-triangle TRS (one small-table lookup).
-    trs_tri = geom.object_trs[geom.tri_obj]  # (T, 4, 4)
-    ph = jnp.concatenate(
-        [geom.tri_corner_pos, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1
-    )
-    wc = jnp.einsum(
-        "tij,tkj->tki", trs_tri, ph, precision=jax.lax.Precision.HIGHEST
-    )[..., :3]  # (T, 3, 3)
-    wch = jnp.concatenate([wc, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1)
-    lsp = jnp.einsum(
-        "ij,tkj->tki", sun_pv, wch, precision=jax.lax.Precision.HIGHEST
-    )[..., :3]
+    # World + light-space corners, shared with the raster setup when the
+    # caller already computed them (render_frame_stats computes both once).
+    if wc is None:
+        wc = world_corners(geom)  # (T, 3, 3)
+    if lsp is None:
+        lsp = corners_clip(wc, sun_pv)[..., :3]  # sun is ortho: clip w == 1
     tri_attr = jnp.concatenate([wc, geom.tri_static_attrs, lsp], axis=-1)  # (T,3,17)
 
     att = jnp.concatenate([tri_attr, tri_attr], axis=0)  # (P, 3, 17) slot-major
@@ -362,6 +400,17 @@ def shade_gbuffer(
     u_uv = gbuf[:, 12, :]  # (T, S)
     v_uv = gbuf[:, 13, :]
 
+    # Gather hygiene: uncovered pixels carry all-zero G-buffer rows whose
+    # degenerate regions (h == w == 0) turn into garbage gather indices —
+    # random HBM rows that defeat the gather's cache locality. Point every
+    # unused lane at one constant row instead (their values are discarded by
+    # the covered select at the end).
+    u_uv = jnp.where(covered, u_uv, 0.0)
+    v_uv = jnp.where(covered, v_uv, 0.0)
+
+    def reg_lane(lane, fallback):
+        return jnp.where(covered, gbuf[:, lane, :], fallback)
+
     def ch3(flat, base):  # (..., C) flat tap -> (T, 3, S)
         return jnp.stack([flat[..., base + i] for i in range(3)], axis=1)
 
@@ -369,7 +418,7 @@ def shade_gbuffer(
         # All of this material's texture slots in ONE row gather.
         tex = sample_quads_flat(
             atlas.combined_quads, atlas.combined_block_grid,
-            gbuf[:, 43, :], gbuf[:, 44, :], gbuf[:, 45, :], gbuf[:, 46, :],
+            reg_lane(43, 0.0), reg_lane(44, 0.0), reg_lane(45, 1.0), reg_lane(46, 1.0),
             u_uv, v_uv,
         )  # (T, S, 4 * n_slots)
         slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
@@ -383,8 +432,8 @@ def shade_gbuffer(
         def tap(slot):
             return sample_quads_flat(
                 atlas.quads, atlas.block_grid,
-                gbuf[:, 24 + 4 * slot, :], gbuf[:, 25 + 4 * slot, :],
-                gbuf[:, 26 + 4 * slot, :], gbuf[:, 27 + 4 * slot, :],
+                reg_lane(24 + 4 * slot, 0.0), reg_lane(25 + 4 * slot, 0.0),
+                reg_lane(26 + 4 * slot, 1.0), reg_lane(27 + 4 * slot, 1.0),
                 u_uv, v_uv,
             )
 
@@ -456,6 +505,11 @@ def shade_gbuffer(
     dx, dy, dz = sky.camera_ray_dirs_cf(
         params.camera, px, py, config.width, config.height
     )
+    # Covered pixels don't read the sky — give them one constant direction
+    # so their (discarded) env taps hit a single cached row.
+    dx = jnp.where(covered, 1.0, dx)
+    dy = jnp.where(covered, 0.0, dy)
+    dz = jnp.where(covered, 0.0, dz)
     background = jnp.stack(
         sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=1
     )
@@ -476,15 +530,23 @@ def render_frame_stats(
     loud; bench.py and the CLI call it every run.
     """
     geom = buffers.geometry
-    world = vertex_world_positions(geom)
     sun_pv = params.sun.proj_view()
+    cam_pv = params.camera.proj_view()
+    fused = config.fused_shade and not config.force_bruteforce
+
+    # Tri-major world + sun-clip corners, computed once and shared by the
+    # shadow raster, the camera raster, and the shade-row build (the
+    # per-vertex formulation cost ~3 x 750k latency-bound gathers/frame).
+    wc = world_corners(geom) if fused else None
+    sun_clip = corners_clip(wc, sun_pv) if fused else None
+
     # named_scope = the frame graph's pass labels in HLO/profiler traces
     # (the Tracy zone analogue, SURVEY.md §5.1).
     with jax.named_scope("shadow_pass"):
-        shadow_map, sh_pairs, sh_cap = shadow_pass(world, geom, sun_pv, config)
+        shadow_map, sh_pairs, sh_cap = shadow_pass(
+            geom, sun_pv, config, sun_clip=sun_clip
+        )
 
-    cam_pv = params.camera.proj_view()
-    fused = config.fused_shade and not config.force_bruteforce
     if fused:
         # Fused path: raster -> in-kernel select+interp (zero per-pixel
         # gathers for shading inputs) -> tile-major shading; only the final
@@ -492,13 +554,14 @@ def render_frame_stats(
         from arctic_tpu.ops import raster_tiles
 
         with jax.named_scope("forward_visibility"):
-            clip = to_clip(world, cam_pv)
             tri_valid = jnp.arange(geom.capacity) < geom.num_tris
-            clipped = raster.near_clip_triangles(clip, geom.indices, tri_valid)
+            clipped = raster.near_clip_corners(corners_clip(wc, cam_pv), tri_valid)
             setup = raster.setup_screen_triangles(
                 clipped, config.width, config.height, cull="back"
             )
-            shade_rows = build_shade_rows(setup, geom, sun_pv)
+            shade_rows = build_shade_rows(
+                setup, geom, sun_pv, wc=wc, lsp=sun_clip[..., :3]
+            )
             # Materialization fence: without it XLA fuses the row-table
             # concat into the 600k-row alignment gather's consumer, and the
             # full-frame program runs ~2x slower than the stages do in
@@ -515,6 +578,7 @@ def render_frame_stats(
                 tiles_x=config.tiles_x,
             )
     else:
+        world = vertex_world_positions(geom)
         with jax.named_scope("forward_visibility"):
             setup, _zbuf, ibuf, cam_pairs, cam_cap = main_pass(
                 world, geom, cam_pv, config
@@ -563,6 +627,75 @@ def check_stats(stats) -> None:
                 f"the frame is incomplete. Raise RenderConfig.pairs_per_tri / "
                 f"pair_reserve."
             )
+
+
+def measure_pair_counts(
+    buffers: SceneBuffers, params: SceneParams, config: RenderConfig
+) -> Tuple[int, int]:
+    """Actual (camera, shadow) tile-pair counts for one frame — no sort, no
+    raster, so the throwaway compile is cheap (unlike rendering a probe frame
+    at the worst-case capacity)."""
+    from arctic_tpu.ops import binning
+
+    @jax.jit
+    def counts(buffers, params):
+        geom = buffers.geometry
+        world = vertex_world_positions(geom)
+        tri_valid = jnp.arange(geom.capacity) < geom.num_tris
+
+        cam_clip = to_clip(world, params.camera.proj_view())
+        cam_setup = raster.setup_screen_triangles(
+            raster.near_clip_triangles(cam_clip, geom.indices, tri_valid),
+            config.width, config.height, cull="back",
+        )
+        cam = binning.count_pairs(
+            cam_setup, config.tiles_x, config.tiles_y, config.tile_w, config.tile_h
+        )
+
+        s = config.shadow_size
+        sh_clip = to_clip(world, params.sun.proj_view())
+        sh_setup = raster.setup_screen_triangles(
+            raster.near_clip_triangles(sh_clip, geom.indices, tri_valid),
+            s, s, cull="front",
+        )
+        stx = -(-s // config.shadow_tile)
+        sh = binning.count_pairs(
+            sh_setup, stx, stx, config.shadow_tile, config.shadow_tile
+        )
+        return cam, sh
+
+    cam, sh = counts(buffers, params)
+    return int(cam), int(sh)
+
+
+def autotune_pair_caps(
+    buffers: SceneBuffers,
+    params: SceneParams,
+    config: RenderConfig,
+    margin: float = 2.0,
+    bucket: int = 65536,
+) -> RenderConfig:
+    """Size the pair buffers to the scene: measure one frame's real pair
+    counts and return a config with ~margin x headroom, bucketed so nearby
+    viewpoints share a compilation.
+
+    Binning sort/align/gather costs scale with the buffer CAPACITY (the
+    default formula is ~5x oversized on the bench scene), so this is a large
+    frame-time win for one extra tiny compile. Overflow stays loud: if a
+    later frame exceeds the tuned cap, check_stats raises and the caller can
+    re-tune with a bigger margin.
+    """
+    import dataclasses
+
+    cam, sh = measure_pair_counts(buffers, params, config)
+
+    def cap(n: int) -> int:
+        need = int(n * margin) + 8192
+        return max(bucket, -(-need // bucket) * bucket)
+
+    return dataclasses.replace(
+        config, pair_cap_cam=cap(cam), pair_cap_shadow=cap(sh)
+    )
 
 
 def render_frame(

@@ -71,21 +71,15 @@ def align_segments(pairs: BinnedPairs, num_tiles: int, dead_slot: int, align: in
     return AlignedSegments(slot=slot, seg_start=astart[:-1], seg_len=seg_len)
 
 
-def bin_triangles(
+def _tile_footprints(
     setup: TriSetup,
     tiles_x: int,
     tiles_y: int,
     tile_w: int,
     tile_h: int,
-    pair_capacity: int,
     tile_row0=0,
-) -> BinnedPairs:
-    """Bin into the tile window rows [tile_row0, tile_row0 + tiles_y).
-
-    ``tile_row0`` may be traced (device's slice offset under shard_map);
-    tile ids in the output are window-local.
-    """
-    num_tiles = tiles_x * tiles_y
+):
+    """Per-slot tile bbox + pair counts: (counts, tx0, ty0, w)."""
     x0, y0, x1, y1 = (setup.bbox[:, i] for i in range(4))
     valid = setup.valid
 
@@ -106,6 +100,45 @@ def bin_triangles(
     w = jnp.where(valid, tx1 - tx0 + 1, 1)
     h = jnp.where(valid, ty1 - ty0 + 1, 1)
     counts = jnp.where(valid, w * h, 0)
+    return counts, tx0, ty0, w
+
+
+def count_pairs(
+    setup: TriSetup,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    tile_row0=0,
+) -> Array:
+    """Total (tile, triangle) pairs this frame would generate (i32 scalar).
+
+    Sort-free — used by pipeline.autotune_pair_caps to size the pair buffer
+    to the scene instead of the worst-case formula."""
+    counts, _, _, _ = _tile_footprints(
+        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0
+    )
+    return jnp.sum(counts, dtype=jnp.int32)
+
+
+def bin_triangles(
+    setup: TriSetup,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+    tile_row0=0,
+) -> BinnedPairs:
+    """Bin into the tile window rows [tile_row0, tile_row0 + tiles_y).
+
+    ``tile_row0`` may be traced (device's slice offset under shard_map);
+    tile ids in the output are window-local.
+    """
+    num_tiles = tiles_x * tiles_y
+    counts, tx0, ty0, w = _tile_footprints(
+        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0
+    )
 
     # Expansion without per-pair binary search: pair -> slot is a run-length
     # decode. Scatter a 1 at every segment end and prefix-sum (equivalent to

@@ -81,8 +81,16 @@ def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> 
     The reference gets this from fixed-function clipping; here each input
     triangle owns 2 output slots (a clipped triangle fans into at most 2).
     """
-    v = clip_verts[indices]  # (T, 3, 4)
-    tcount = indices.shape[0]
+    return near_clip_corners(clip_verts[indices], tri_valid)
+
+
+def near_clip_corners(v: Array, tri_valid: Array) -> ClippedTris:
+    """near_clip_triangles on tri-major (T, 3, 4) corner clip positions.
+
+    The hot path computes clip corners directly from precomputed tri-major
+    world corners (pipeline.world_corners) — the per-vertex formulation costs
+    3T latency-bound row gathers per pass (~10 ms/frame at 250k tris)."""
+    tcount = v.shape[0]
     z = v[..., 2]
     inside = z >= 0.0  # (T, 3)
     code = (

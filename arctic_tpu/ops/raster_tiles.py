@@ -237,17 +237,28 @@ def _select_kernel(
         # rows): their slot ids must never match a pixel.
         m = n - c * chunk
         sid = jnp.where(k_iota < m, rows[:, 9:10], -2.0)
+        # Manual 3-way bf16 split of the f32 rows (exact: 24-bit mantissa =
+        # 3 x 8; the one-hot is exact in bf16 and each output lane receives
+        # exactly one product) — bit-identical to Precision.HIGHEST at half
+        # the MXU passes. Split once per chunk, reused by all groups.
+        hi = rows.astype(jnp.bfloat16)
+        r1 = rows - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         out = []
         for s in range(groups):
-            onehot = (sid == iref[0, s, :].reshape(1, 128).astype(jnp.float32))
-            acc = jax.lax.dot_general(
-                rows,
-                onehot.astype(jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            out.append(accs[s] + acc)
+            onehot = (
+                sid == iref[0, s, :].reshape(1, 128).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            acc = accs[s]
+            for part in (hi, mid, lo):
+                acc = acc + jax.lax.dot_general(
+                    part,
+                    onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out.append(acc)
         return out
 
     @pl.when(n > 0)
@@ -341,6 +352,7 @@ def raster_gbuffer(
     tile_row0=0,
     tile_rows: int | None = None,
     vma: tuple = (),
+    kind: str = "cam",
 ):
     """Fused visibility + shading-input resolve for the camera pass.
 
@@ -352,7 +364,7 @@ def raster_gbuffer(
     if tile_rows is None:
         tile_rows = -(-height // th)
     zt, it, segs, pairs = bin_and_rasterize(
-        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind
     )
     gbuf = select_interp_tiles(
         shade_rows, segs, it, tiles_x, tile_rows, th, tw, tile_row0,
@@ -374,6 +386,7 @@ def bin_and_rasterize(
     tw: int,
     tile_row0,
     vma: tuple = (),
+    kind: str = "cam",
 ):
     """Bin + tile-raster; returns tile-major (zt, it) plus the aligned
     segment lists (reused by the fused shading kernel) and the pair stats."""
@@ -381,7 +394,7 @@ def bin_and_rasterize(
     num_tiles = tiles_x * tile_rows
     sublanes = th * tw // 128
     chunk = config.raster_chunk
-    pair_cap = config.pair_capacity(setup.capacity)
+    pair_cap = config.pair_capacity(setup.capacity, kind)
 
     pairs = binning.bin_triangles(
         setup, tiles_x, tile_rows, tw, th, pair_cap, tile_row0=tile_row0
@@ -442,6 +455,7 @@ def rasterize_tiled(
     crop: bool = True,
     vma: tuple = (),
     with_pairs: bool = False,
+    kind: str = "cam",
 ) -> Tuple[Array, ...]:
     """Binned tiled rasterization; drop-in replacement for the brute force.
 
@@ -459,7 +473,7 @@ def rasterize_tiled(
     if tile_row0 is None:
         tile_row0 = 0
     zt, it, _segs, pairs = bin_and_rasterize(
-        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind
     )
     zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
     ibuf = _untile(it, tile_rows, tiles_x, th, tw)

@@ -50,6 +50,11 @@ def _select_mats() -> jnp.ndarray:
         for w in range(32):
             for cc in range(4):
                 s[r, 4 * w + cc, 16 * w + 4 * r + cc] = 1.0
+    # Stored f32: Mosaic faults on this kernel when the VMEM operand is held
+    # in bf16 and upcast in-kernel for the small-xb f32 matmul path
+    # (observed: TPU worker crash at shadow_size 512 even with the bf16
+    # matmul guarded out). The bf16 path downcasts in-kernel instead — the
+    # 0/1 entries convert exactly.
     return jnp.asarray(s)
 
 
@@ -66,12 +71,35 @@ def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sem, *, xb: int):
     for j in range(32):
         acc = jnp.zeros((xb, 512), jnp.float32)
         for r in range(4):
-            acc = acc + jax.lax.dot_general(
-                slab[4 * j + r],
-                smat_ref[r],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            x = slab[4 * j + r]
+            if xb >= 8:
+                # Manual 3-way bf16 split of the f32 depths (24-bit mantissa
+                # = 3 x 8 bits, exact; the one-hot smat is exact in bf16 and
+                # each output lane receives exactly one product) —
+                # bit-identical to Precision.HIGHEST at half its MXU passes
+                # (3 vs 6). Mosaic faults on bf16 matmuls with M < 8
+                # (observed: TPU worker crash at shadow_size 512, xb=5), so
+                # small maps keep the f32 path.
+                hi = x.astype(jnp.bfloat16)
+                r1 = x - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                smat_bf16 = smat_ref[r].astype(jnp.bfloat16)
+                for part in (hi, mid, lo):
+                    acc = acc + jax.lax.dot_general(
+                        part,
+                        smat_bf16,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                acc = acc + jax.lax.dot_general(
+                    x,
+                    smat_ref[r],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
         out_ref[0, 0, j] = acc
 
 
@@ -86,7 +114,12 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
     s = shadow_map.shape[0]
     sp = s + 4
     padded = jnp.pad(shadow_map, 2, mode="wrap")
-    xb = -(-(sp + 3) // 128)  # 128-column source blocks
+    # 128-column source blocks, rounded up to a multiple of 8: the kernel's
+    # HBM->VMEM slab is (132, xb, 128) and Mosaic faults when the
+    # second-minor dim is not 8-aligned (f32 VMEM tiles are (8, 128); a
+    # dense HBM source DMA'd into a padded VMEM layout crashes the TPU
+    # worker — observed at shadow_size 512 where the tight count is 5).
+    xb = _round_up(-(-(sp + 3) // 128), 8)
     sq = s // 4 + 1
     sq8 = -(-sq // 32)
     yp = 128 * sq8 + 8
@@ -169,6 +202,9 @@ def pcf_shadow_proj(
         j = (
             ((start_y % 4) * 4 + start_x % 4) * sq + start_y // 4
         ) * (xb * 32) + start_x // 4
+        # Out-of-frustum pixels return 0 without reading the map — point
+        # their (discarded) window gathers at one cached row.
+        j = jnp.where(outside, 0, j)
         row = lutp[j // 8]  # (..., 128): 8 packed windows, one row gather
         k = j % 8
         window = row[..., 0:16]

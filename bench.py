@@ -145,6 +145,14 @@ def main() -> None:
         default_settings(), tm_method=jnp.int32(2)  # ACES (configs[2])
     )
 
+    # Size the pair buffers to the scene (sort/align costs scale with
+    # capacity; the formula default is ~5x oversized for this scene).
+    config = pipeline.autotune_pair_caps(buffers=bufs, params=params, config=config)
+    print(
+        f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}",
+        file=sys.stderr,
+    )
+
     # One program for both timing and health: the stats outputs are scalars
     # already computed by the binning cumsum (free), and a second jitted
     # variant would double the (minutes-long) remote TPU compile.

@@ -104,7 +104,7 @@ def main():
 
     @jax.jit
     def stage_shadow(world, params):
-        return pipeline.shadow_pass(world, bufs.geometry, params.sun.proj_view(), config)[0]
+        return pipeline.shadow_pass(bufs.geometry, params.sun.proj_view(), config)[0]
 
     t, shadow_map = timeit(stage_shadow, world, params)
     print(f"shadow pass total:  {t*1e3:8.2f} ms")

@@ -53,7 +53,7 @@ def main():
     def prep(bufs, params):
         world = pipeline.vertex_world_positions(bufs.geometry)
         sun_pv = params.sun.proj_view()
-        shadow_map, _, _ = pipeline.shadow_pass(world, bufs.geometry, sun_pv, config)
+        shadow_map, _, _ = pipeline.shadow_pass(bufs.geometry, sun_pv, config)
         setup, zbuf, ibuf, _, _ = pipeline.main_pass(world, bufs.geometry, params.camera.proj_view(), config)
         return world, sun_pv, shadow_map, setup, ibuf
 
