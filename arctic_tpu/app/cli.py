@@ -141,8 +141,12 @@ def cmd_render(args) -> int:
 
     if not (args.raytrace or args.devices or config.force_bruteforce):
         # Size the pair buffers to the scene (binning costs scale with
-        # capacity, not pairs; one cheap count-only compile).
+        # capacity, not pairs; one cheap count-only compile), and unroll the
+        # point-light loop for the known light count (one fused BRDF pass).
         config = pipeline.autotune_pair_caps(buffers, params, config)
+        config = dataclasses.replace(
+            config, static_point_lights=int(params.point_lights.count)
+        )
         log.info(
             "pair caps: cam=%d shadow=%d", config.pair_cap_cam, config.pair_cap_shadow
         )

@@ -57,6 +57,15 @@ class RenderConfig:
     pair_cap_cam: int | None = None
     pair_cap_shadow: int | None = None
 
+    # Static point-light count (None = dynamic fori_loop with the traced
+    # params.point_lights.count, matching ps_main's `i < len` loop).  When
+    # set, the shading loop unrolls to exactly this many lights so XLA fuses
+    # the whole multi-light BRDF into one elementwise pass (a fori_loop body
+    # is a fusion barrier: the accumulator round-trips HBM per light).
+    # Changing the light count then recompiles — the PSO-build analogue;
+    # the interactive viewer keeps the dynamic loop.
+    static_point_lights: int | None = None
+
     # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):
     # round shaded HDR values to f16 before the post-process pass.
     hdr_half_round: bool = True

@@ -231,8 +231,14 @@ def build_shade_rows(
 
     att = jnp.concatenate([tri_attr, tri_attr], axis=0)  # (P, 3, 17) slot-major
     cb = setup.corner_bary  # (P, 3, 3) weights over original corners
+    # Explicit mul-adds, not einsum: XLA lowers the (P,3)x(P,3,17) batched
+    # contraction through transposes it can't fuse; this form is a pure
+    # elementwise chain that fuses into the consuming concat.
     corner_attr = [
-        jnp.einsum("pk,pki->pi", cb[:, c, :], att) for c in range(3)
+        cb[:, c, 0, None] * att[:, 0, :]
+        + cb[:, c, 1, None] * att[:, 1, :]
+        + cb[:, c, 2, None] * att[:, 2, :]
+        for c in range(3)
     ]  # 3 x (P, 17)
 
     ebw = jnp.concatenate(
@@ -360,8 +366,12 @@ def shade(
 
     # Dynamic trip count like ps_main's `i < point_lights.len` loop
     # (forward.hlsl:224): inactive light slots cost nothing.
-    count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
-    lo = jax.lax.fori_loop(0, count, light_body, lo)
+    if config.static_point_lights is None:
+        count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
+        lo = jax.lax.fori_loop(0, count, light_body, lo)
+    else:
+        for i in range(min(config.static_point_lights, MAX_POINT_LIGHTS)):
+            lo = light_body(i, lo)
     color = lo + params.ambient * base_color  # forward.hlsl:233
 
     # Skybox where no geometry wrote depth (skybox pass semantics).
@@ -491,8 +501,13 @@ def shade_gbuffer(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
 
-    count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
-    lo = jax.lax.fori_loop(0, count, light_body, lo)
+    if config.static_point_lights is None:
+        count = jnp.minimum(params.point_lights.count, MAX_POINT_LIGHTS)
+        lo = jax.lax.fori_loop(0, count, light_body, lo)
+    else:
+        # Unrolled: one fused multi-light BRDF pass (config.static_point_lights).
+        for i in range(min(config.static_point_lights, MAX_POINT_LIGHTS)):
+            lo = light_body(i, lo)
     color = lo + params.ambient * base_color
 
     # Skybox where no geometry wrote depth, via per-pixel tile coords.
@@ -630,11 +645,15 @@ def check_stats(stats) -> None:
 
 
 def measure_pair_counts(
-    buffers: SceneBuffers, params: SceneParams, config: RenderConfig
+    buffers: SceneBuffers, params, config: RenderConfig
 ) -> Tuple[int, int]:
     """Actual (camera, shadow) tile-pair counts for one frame — no sort, no
     raster, so the throwaway compile is cheap (unlike rendering a probe frame
-    at the worst-case capacity)."""
+    at the worst-case capacity).
+
+    ``params`` may be a single SceneParams or a list (e.g. a benchmark's
+    fly-through viewpoints); a list returns the element-wise max so the tuned
+    caps cover the whole path with one compile."""
     from arctic_tpu.ops import binning
 
     @jax.jit
@@ -664,20 +683,24 @@ def measure_pair_counts(
         )
         return cam, sh
 
-    cam, sh = counts(buffers, params)
-    return int(cam), int(sh)
+    params_list = params if isinstance(params, (list, tuple)) else [params]
+    cam = sh = 0
+    for p in params_list:
+        c, s_ = counts(buffers, p)
+        cam, sh = max(cam, int(c)), max(sh, int(s_))
+    return cam, sh
 
 
 def autotune_pair_caps(
     buffers: SceneBuffers,
-    params: SceneParams,
+    params,
     config: RenderConfig,
     margin: float = 2.0,
     bucket: int = 65536,
 ) -> RenderConfig:
-    """Size the pair buffers to the scene: measure one frame's real pair
-    counts and return a config with ~margin x headroom, bucketed so nearby
-    viewpoints share a compilation.
+    """Size the pair buffers to the scene: measure one frame's (or, given a
+    params list, a camera path's) real pair counts and return a config with
+    ~margin x headroom, bucketed so nearby viewpoints share a compilation.
 
     Binning sort/align/gather costs scale with the buffer CAPACITY (the
     default formula is ~5x oversized on the bench scene), so this is a large

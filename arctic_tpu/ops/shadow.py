@@ -58,49 +58,68 @@ def _select_mats() -> jnp.ndarray:
     return jnp.asarray(s)
 
 
-def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sem, *, xb: int):
+def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sems, *, xb: int, sq8: int):
     # One step builds windows for 32 consecutive qy rows (132 shared source
     # rows) — batching amortizes the per-step DMA/dispatch overhead that
-    # dominated a one-qy-per-step version.
+    # dominated a one-qy-per-step version. The slab DMA is double-buffered
+    # across grid steps (each step's source is independent).
     sy = pl.program_id(0)
     sx = pl.program_id(1)
     q = pl.program_id(2)
-    copy = pltpu.make_async_copy(in4_hbm.at[sx, pl.ds(128 * q + sy, 132)], slab, sem)
-    copy.start()
-    copy.wait()
-    for j in range(32):
-        acc = jnp.zeros((xb, 512), jnp.float32)
+    step = (sy * 4 + sx) * sq8 + q
+    total = 16 * sq8
+    slot = jax.lax.rem(step, 2)
+
+    def dma(st, sl):
+        # Decode (sy, sx, q) of step ``st`` (grid iterates q fastest).
+        qq = jax.lax.rem(st, sq8)
+        rest = st // sq8
+        sxx = jax.lax.rem(rest, 4)
+        syy = rest // 4
+        return pltpu.make_async_copy(
+            in4_hbm.at[sxx, pl.ds(128 * qq + syy, 132)], slab.at[sl], sems.at[sl]
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(step, slot).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma(step + 1, 1 - slot).start()
+
+    dma(step, slot).wait()
+
+    # Stack g window-rows per matmul so M = g * xb fills the systolic array
+    # (per-j M == xb wastes 3/4 of the MXU rows at xb == 32 and quadruples
+    # the instruction count).
+    g = max(1, min(32, 128 // xb))
+    while 32 % g:
+        g -= 1
+    for j0 in range(0, 32, g):
+        acc = jnp.zeros((g * xb, 512), jnp.float32)
         for r in range(4):
-            x = slab[4 * j + r]
-            if xb >= 8:
-                # Manual 3-way bf16 split of the f32 depths (24-bit mantissa
-                # = 3 x 8 bits, exact; the one-hot smat is exact in bf16 and
-                # each output lane receives exactly one product) —
-                # bit-identical to Precision.HIGHEST at half its MXU passes
-                # (3 vs 6). Mosaic faults on bf16 matmuls with M < 8
-                # (observed: TPU worker crash at shadow_size 512, xb=5), so
-                # small maps keep the f32 path.
-                hi = x.astype(jnp.bfloat16)
-                r1 = x - hi.astype(jnp.float32)
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                smat_bf16 = smat_ref[r].astype(jnp.bfloat16)
-                for part in (hi, mid, lo):
-                    acc = acc + jax.lax.dot_general(
-                        part,
-                        smat_bf16,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            else:
+            x = jnp.concatenate(
+                [slab[slot, 4 * (j0 + jj) + r] for jj in range(g)], axis=0
+            )  # (g * xb, 128)
+            # Manual 3-way bf16 split of the f32 depths (24-bit mantissa =
+            # 3 x 8 bits, exact; the one-hot smat is exact in bf16 and each
+            # output lane receives exactly one product) — bit-identical to
+            # Precision.HIGHEST at half its MXU passes (3 vs 6).
+            hi = x.astype(jnp.bfloat16)
+            r1 = x - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            smat_bf16 = smat_ref[r].astype(jnp.bfloat16)
+            for part in (hi, mid, lo):
                 acc = acc + jax.lax.dot_general(
-                    x,
-                    smat_ref[r],
+                    part,
+                    smat_bf16,
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
-        out_ref[0, 0, j] = acc
+        for jj in range(g):
+            out_ref[0, 0, j0 + jj] = acc[jj * xb : (jj + 1) * xb]
 
 
 def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
@@ -130,7 +149,7 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
     )
 
     lut = pl.pallas_call(
-        functools.partial(_lut_kernel, xb=xb),
+        functools.partial(_lut_kernel, xb=xb, sq8=sq8),
         grid=(4, 4, sq8),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -141,8 +160,8 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
         ),
         out_shape=jax.ShapeDtypeStruct((4, 4, sq8 * 32, xb, 512), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((132, xb, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 132, xb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(in4, _select_mats())

@@ -36,6 +36,19 @@ def _scene():
     return bufs, params
 
 
+def test_static_point_lights_match_dynamic_loop():
+    """Unrolled light loop (static_point_lights) == dynamic fori_loop."""
+    bufs, params = _scene()
+    settings = default_settings()
+    config = RenderConfig(width=W, height=H, shadow_size=SHADOW)
+    static = dataclasses.replace(
+        config, static_point_lights=int(params.point_lights.count)
+    )
+    img_dyn = pipeline.make_renderer(config)(bufs, params, settings)
+    img_static = pipeline.make_renderer(static)(bufs, params, settings)
+    np.testing.assert_array_equal(np.asarray(img_dyn), np.asarray(img_static))
+
+
 def test_autotuned_caps_match_default_render():
     bufs, params = _scene()
     settings = default_settings()

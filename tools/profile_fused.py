@@ -54,6 +54,11 @@ def main():
     )
     settings = default_settings()
 
+    if "--no-autotune" not in sys.argv:
+        config = pipeline.autotune_pair_caps(bufs, params, config, margin=1.4)
+        config = dataclasses.replace(config, static_point_lights=4)
+        print(f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}")
+
     render = pipeline.make_renderer(config)
     t, _ = timeit(render, bufs, params, settings)
     print(f"FULL FRAME:           {t*1e3:8.2f} ms   ({1.0/t:.2f} fps)", flush=True)
