@@ -189,6 +189,11 @@ class TextureAtlas:
     data: jnp.ndarray  # (AH, AW, 4) texel data (bf16 or f32), linear
     quads: jnp.ndarray  # (4*BH*BW, 16) parity-shifted 2x2 quad copies
     regions: jnp.ndarray  # (M, 3, 4) i32: per material x slot -> (y, x, h, w)
+    # Dense 8-quads-per-row packing of ``quads`` ((ceil(Q/8), 128), same
+    # dtype): a (Q, 16) f32 table tile-pads 16 -> 128 lanes (8x memory, HBM
+    # cache-hostile — measured 17 ns/row vs ~2 ns dense); consumers gather
+    # row q//8 and select 16 lanes by q%8 (ops.sampling.sample_quads_packed).
+    quads_packed: jnp.ndarray = None
     # Per-material constant-texture values (normal / metal-roughness slots);
     # meaningful where the static flags below are True.
     nm_consts: jnp.ndarray = None  # (M, 4) f32

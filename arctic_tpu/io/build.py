@@ -183,6 +183,14 @@ def _round_up(x: int, m: int) -> int:
     return max((x + m - 1) // m * m, m)
 
 
+def _pack_rows_128(rows: np.ndarray) -> np.ndarray:
+    """(Q, L) -> (ceil(Q*L/128), 128) dense row packing (128 % L == 0)."""
+    q, l = rows.shape
+    per = 128 // l
+    qp = _round_up(q, per)
+    return np.pad(rows, ((0, qp - q), (0, 0))).reshape(qp // per, 128)
+
+
 def build_buffers(
     meshes: Sequence[MeshData],
     objects: Sequence[tuple[np.ndarray, int]],  # (trs 4x4, mesh index)
@@ -364,9 +372,11 @@ def build_buffers(
         [env_np, np.ones((*env_np.shape[:2], 1), np.float32)], axis=-1
     )
     env_data, env_locs = pack_atlas([env_rgba])
+    env_quads = pack_atlas_quads(env_data)
     env_atlas = TextureAtlas(
         data=jnp.asarray(env_data, jnp.float32),
-        quads=jnp.asarray(pack_atlas_quads(env_data), jnp.float32),
+        quads=jnp.asarray(env_quads, jnp.float32),
+        quads_packed=jnp.asarray(_pack_rows_128(env_quads), jnp.float32),
         regions=jnp.asarray(env_locs.reshape(1, 1, 4)),
     )
     env = Environment(data=jnp.asarray(env_np), atlas=env_atlas)

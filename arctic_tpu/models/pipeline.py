@@ -108,7 +108,7 @@ def _rasterize(
 
     zbuf, ibuf, pairs = raster_tiles.rasterize_tiled(
         setup, height, width, config, tile_h=tile, tile_w=tile, with_pairs=True,
-        kind=kind,
+        kind=kind, depth_only=(kind == "shadow"),
     )
     return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity, kind)
 
@@ -613,9 +613,9 @@ def render_frame_stats(
         img = tonemap.to_unorm8(ldr)
 
     if fused:
-        from arctic_tpu.ops.raster_tiles import untile_channels_first
+        from arctic_tpu.ops.raster_tiles import untile_packed_u8
 
-        img = untile_channels_first(
+        img = untile_packed_u8(
             img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
         )[: config.height, : config.width]
 

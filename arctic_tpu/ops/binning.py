@@ -54,16 +54,17 @@ def align_segments(pairs: BinnedPairs, num_tiles: int, dead_slot: int, align: in
     cap_aligned = pair_cap + align * num_tiles
     pos = jnp.arange(cap_aligned, dtype=jnp.int32)
 
-    # Monotone per-position quantities via scatter-max + cummax (both
+    # Monotone per-position quantities via ONE scatter-max + cummax: both
     # aligned-start - original-start and the segment-end positions are
-    # non-decreasing over tiles), avoiding per-position binary searches.
+    # non-decreasing over tiles, so they ride one scatter op as a 2-wide
+    # update row (scatters are latency-bound per UPDATE, ~9 ns — two
+    # separate scatters paid that twice per pass).
     at = jnp.clip(astart[:-1], 0, cap_aligned)
-    delta0 = jnp.zeros(cap_aligned + 1, jnp.int32).at[at].max(
-        astart[:-1] - pairs.tile_start[:-1]
-    )
-    delta = jax.lax.cummax(delta0[:cap_aligned])  # astart[t] - tile_start[t]
-    end0 = jnp.zeros(cap_aligned + 1, jnp.int32).at[at].max(pairs.tile_start[1:])
-    end = jax.lax.cummax(end0[:cap_aligned])  # tile_start[t + 1]
+    upd = jnp.stack([astart[:-1] - pairs.tile_start[:-1], pairs.tile_start[1:]], axis=1)
+    both0 = jnp.zeros((cap_aligned + 1, 2), jnp.int32).at[at].max(upd)
+    both = jax.lax.cummax(both0[:cap_aligned], axis=0)
+    delta = both[:, 0]  # astart[t] - tile_start[t]
+    end = both[:, 1]  # tile_start[t + 1]
 
     src = pos - delta
     ok = src < end
@@ -147,17 +148,22 @@ def bin_triangles(
     # with a scatter-max + cummax of the segment starts.
     cum = jnp.cumsum(counts, dtype=jnp.int32)  # inclusive
     total = cum[-1]
-    cum_excl = cum - counts
     pos = jnp.arange(pair_capacity, dtype=jnp.int32)
 
-    mark = jnp.zeros(pair_capacity + 1, jnp.int32)
-    mark = mark.at[jnp.clip(cum, 0, pair_capacity)].add(1)
-    slot = jnp.cumsum(mark[:pair_capacity], dtype=jnp.int32)  # per pos
-
-    start_at = jnp.clip(cum_excl, 0, pair_capacity)
-    bnd = jnp.zeros(pair_capacity + 1, jnp.int32)
-    bnd = bnd.at[start_at].max(cum_excl)
-    base = jax.lax.cummax(bnd[:pair_capacity])
+    # ONE scatter serves both quantities (scatters run latency-bound at
+    # ~9 ns/update, ~4.4 ms per 500k-slot pass — the old form paid twice):
+    # scatter each slot id at its segment END; then
+    #   slot[pos] = 1 + max{i : cum[i] <= pos}           (cummax of marks)
+    #   base[pos] = max end-position <= pos = cum_excl[slot]   (the segment
+    #     start IS the previous segment's end, so the mark positions
+    #     themselves recover it — no second scatter, no gather).
+    m0 = jnp.full(pair_capacity + 1, -1, jnp.int32)
+    m0 = m0.at[jnp.clip(cum, 0, pair_capacity)].max(
+        jnp.arange(setup.capacity, dtype=jnp.int32)
+    )
+    mm = m0[:pair_capacity]
+    slot = jax.lax.cummax(mm) + 1
+    base = jax.lax.cummax(jnp.where(mm >= 0, pos, 0))
     k = pos - base
 
     # One gather per pair: bbox data packed into a single int32

@@ -51,6 +51,7 @@ def _raster_kernel(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    depth_only: bool = False,
 ):
     t = pl.program_id(0)
     start = seg_start_ref[t]  # 8-aligned row offset into the triangle table
@@ -108,9 +109,11 @@ def _raster_kernel(
                     & (z <= 1.0)
                     & (z < zbuf)
                 )
-                sid = r(12).astype(jnp.int32)  # slot id value-encoded in f32
                 zref[0] = jnp.where(ok, z, zbuf)
-                iref[0] = jnp.where(ok, sid, iref[0])
+                if not depth_only:
+                    # slot id value-encoded in f32
+                    sid = r(12).astype(jnp.int32)
+                    iref[0] = jnp.where(ok, sid, iref[0])
                 return 0
 
             jax.lax.fori_loop(0, m, tri_body, 0)
@@ -153,6 +156,28 @@ def untile_channels_first(
         .transpose(0, 3, 1, 4, 2)
         .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
     )
+
+
+def untile_packed_u8(
+    buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int
+) -> Array:
+    """untile_channels_first specialized for the final (T, 3, S) u8 frame.
+
+    Packs RGB into one i32 plane first so the tile-unshuffle transposes a
+    single (T, S) array instead of a 3-channel u8 layout (small-minor u8
+    transposes are the slow path on TPU), then unpacks to (Hp, Wp, 3) u8.
+    """
+    r = buf[:, 0, :].astype(jnp.int32)
+    g = buf[:, 1, :].astype(jnp.int32)
+    b = buf[:, 2, :].astype(jnp.int32)
+    packed = r | (g << 8) | (b << 16)  # (T, S)
+    frame = _untile(
+        packed.reshape(packed.shape[0], tile_h * tile_w // 128, 128),
+        tiles_y, tiles_x, tile_h, tile_w,
+    )  # (Hp, Wp) i32
+    return jnp.stack(
+        [frame & 0xFF, (frame >> 8) & 0xFF, (frame >> 16) & 0xFF], axis=-1
+    ).astype(jnp.uint8)
 
 
 # --------------------------------------------------------------------------
@@ -240,26 +265,28 @@ def _select_kernel(
         # Manual 3-way bf16 split of the f32 rows (exact: 24-bit mantissa =
         # 3 x 8; the one-hot is exact in bf16 and each output lane receives
         # exactly one product) — bit-identical to Precision.HIGHEST at half
-        # the MXU passes. Split once per chunk, reused by all groups.
+        # the MXU passes.
         hi = rows.astype(jnp.bfloat16)
         r1 = rows - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = []
-        for s in range(groups):
-            onehot = (
-                sid == iref[0, s, :].reshape(1, 128).astype(jnp.float32)
-            ).astype(jnp.bfloat16)
-            acc = accs[s]
-            for part in (hi, mid, lo):
-                acc = acc + jax.lax.dot_general(
-                    part,
-                    onehot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            out.append(acc)
-        return out
+        # ONE dot per chunk: K stacks the 3 bf16 parts (the one-hot repeats
+        # per part), N concatenates the pixel groups — same MXU passes as
+        # groups x 3 separate dots but ~24x fewer dispatches (the kernel is
+        # dispatch-bound at 2040 tiles x 24 small dots).
+        cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
+        sid3 = jnp.concatenate([sid, sid, sid], axis=0)  # (3*chunk, 1)
+        iref_flat = iref[0].reshape(1, groups * 128).astype(jnp.float32)
+        onehot = (sid3 == iref_flat).astype(jnp.bfloat16)  # (3*chunk, G*128)
+        acc_all = jax.lax.dot_general(
+            cat,
+            onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, G*128)
+        return [
+            accs[s] + acc_all[:, 128 * s : 128 * (s + 1)] for s in range(groups)
+        ]
 
     @pl.when(n > 0)
     def _():
@@ -387,9 +414,12 @@ def bin_and_rasterize(
     tile_row0,
     vma: tuple = (),
     kind: str = "cam",
+    depth_only: bool = False,
 ):
     """Bin + tile-raster; returns tile-major (zt, it) plus the aligned
-    segment lists (reused by the fused shading kernel) and the pair stats."""
+    segment lists (reused by the fused shading kernel) and the pair stats.
+    With depth_only the ibuf stays cleared (-1) — the shadow pass discards
+    it, and skipping the slot-id select trims the per-triangle VPU work."""
     assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
     num_tiles = tiles_x * tile_rows
     sublanes = th * tw // 128
@@ -427,7 +457,8 @@ def bin_and_rasterize(
         ],
     )
     kernel = functools.partial(
-        _raster_kernel, tiles_x=tiles_x, tile_h=th, tile_w=tw, chunk=chunk
+        _raster_kernel, tiles_x=tiles_x, tile_h=th, tile_w=tw, chunk=chunk,
+        depth_only=depth_only,
     )
     zt, it = pl.pallas_call(
         kernel,
@@ -456,6 +487,7 @@ def rasterize_tiled(
     vma: tuple = (),
     with_pairs: bool = False,
     kind: str = "cam",
+    depth_only: bool = False,
 ) -> Tuple[Array, ...]:
     """Binned tiled rasterization; drop-in replacement for the brute force.
 
@@ -473,7 +505,8 @@ def rasterize_tiled(
     if tile_row0 is None:
         tile_row0 = 0
     zt, it, _segs, pairs = bin_and_rasterize(
-        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind,
+        depth_only,
     )
     zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
     ibuf = _untile(it, tile_rows, tiles_x, th, tw)

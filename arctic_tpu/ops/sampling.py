@@ -159,6 +159,45 @@ def sample_quads_flat(quads, block_grid, ry, rx, rh, rw, u, v) -> Array:
     return top + (bot - top) * fy
 
 
+def sample_quads_packed(
+    quads_packed, block_grid, ry, rx, rh, rw, u, v, channels: int = 4
+) -> Array:
+    """sample_quads_flat against a dense 8-quads-per-128-lane-row table.
+
+    A (Q, 16) f32 quad table is tile-padded 16 -> 128 lanes by XLA (8x the
+    memory, so 2M-row gathers run HBM-latency-bound at ~17 ns/row); packing
+    8 quads per physical row makes the table dense and the same gather runs
+    at cache speed. The quad index q selects row q//8 and lane group q%8.
+    """
+    c = channels
+    ry = jnp.asarray(ry).astype(jnp.int32)
+    rx = jnp.asarray(rx).astype(jnp.int32)
+    rh = jnp.asarray(rh).astype(jnp.int32)
+    rw = jnp.asarray(rw).astype(jnp.int32)
+    t_x = u * rw - 0.5
+    t_y = v * rh - 0.5
+    ix0 = jnp.floor(t_x).astype(jnp.int32)
+    iy0 = jnp.floor(t_y).astype(jnp.int32)
+    fx = (t_x - ix0)[..., None]
+    fy = (t_y - iy0)[..., None]
+    ys = ry + iy0 % rh + 1
+    xs = rx + ix0 % rw + 1
+    bh, bw = block_grid
+    copy = (ys % 2) * 2 + xs % 2
+    q = (copy * bh + ys // 2) * bw + xs // 2
+    row = quads_packed[q // 8].astype(jnp.float32)  # (..., 128)
+    k = q % 8
+    w16 = 4 * c
+    win = row[..., 0:w16]
+    for kk in range(1, 8):
+        win = jnp.where(
+            (k == kk)[..., None], row[..., w16 * kk : w16 * (kk + 1)], win
+        )
+    top = win[..., :c] + (win[..., c : 2 * c] - win[..., :c]) * fx
+    bot = win[..., 2 * c : 3 * c] + (win[..., 3 * c :] - win[..., 2 * c : 3 * c]) * fx
+    return top + (bot - top) * fy
+
+
 def sample_atlas_combined(atlas, region: Array, uv: Array) -> Array:
     """Sample the combined-slot atlas: ONE row gather yields every texture
     slot's bilinear footprint at once.

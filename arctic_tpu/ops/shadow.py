@@ -118,17 +118,42 @@ def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sems, *, xb: int, sq8: int):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+        # Emit in the consumer's final (rows, 128) gather layout directly
+        # (row = j * 4xb + g128 * xb + b, see window_row_index) — the old
+        # (..., xb, 512) output needed a 1 GB XLA reshape+copy per frame.
         for jj in range(g):
-            out_ref[0, 0, j0 + jj] = acc[jj * xb : (jj + 1) * xb]
+            for g128 in range(4):
+                out_ref[0, pl.ds((j0 + jj) * 4 * xb + g128 * xb, xb), :] = acc[
+                    jj * xb : (jj + 1) * xb, 128 * g128 : 128 * (g128 + 1)
+                ]
+
+
+def window_row_index(start_y, start_x, sq8: int, xb: int):
+    """Packed-LUT location of the 4x4 window at padded coords (y, x).
+
+    Returns (row, k): the window's 16 lanes live at [16*k, 16*k + 16) of
+    lut[row]. Mirrors the _lut_kernel store order: grid block
+    (cls*sq8 + qy//32), then row-in-block (qy%32)*4*xb + ((qx%32)//8)*xb
+    + qx//32, where cls = (y%4)*4 + x%4, qy = y//4, qx = x//4.
+    """
+    cls = (start_y % 4) * 4 + start_x % 4
+    qy = start_y // 4
+    qx = start_x // 4
+    row = ((cls * sq8 + qy // 32) * 32 + qy % 32) * 4 * xb + (
+        (qx % 32) // 8
+    ) * xb + qx // 32
+    return row, qx % 8
 
 
 def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
-    """All 4x4 windows of the (wrap-padded) shadow map as 16-lane rows.
+    """All 4x4 windows of the (wrap-padded) shadow map, 8 per 128-lane row.
 
-    Returns (lut (N, 16) f32, sq, xb): the window starting at padded coords
-    (y, x) lives at row (((y%4)*4 + x%4)*sq + y//4) * (xb*32) + x//4, laid
-    out [r*4+cc]. Built by a Pallas kernel at streaming bandwidth (XLA's
-    transpose-based construction costs ~170 ms/frame).
+    Returns (lut (N, 128) f32, sq8, xb): the window starting at padded
+    coords (y, x) lives at lanes [16k, 16k+16) (laid out [r*4+cc]) of row
+    ``row`` with (row, k) = window_row_index(y, x, sq8, xb). Built by a
+    Pallas kernel at streaming bandwidth directly in this gather layout
+    (XLA's transpose-based construction costs ~170 ms/frame, and emitting
+    an (..., xb, 512) shape cost a 1 GB reshape+copy per frame).
     """
     s = shadow_map.shape[0]
     sp = s + 4
@@ -156,20 +181,16 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
             pl.BlockSpec((4, 128, 512), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 32, xb, 512), lambda sy, sx, q: (sy, sx, q, 0, 0)
+            (1, 32 * 4 * xb, 128), lambda sy, sx, q: ((sy * 4 + sx) * sq8 + q, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((4, 4, sq8 * 32, xb, 512), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16 * sq8, 32 * 4 * xb, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 132, xb, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(in4, _select_mats())
-    # PACKED view: 8 windows per 128-lane row (window j at lanes
-    # [16*(j%8), 16*(j%8)+16) of row j//8). reshape(-1, 128) is
-    # layout-preserving (both minors are dense 128-multiples), unlike the
-    # old (N, 16) view which cost a 33 ms relayout copy of the 1 GB table.
-    return lut.reshape(-1, 128), sq8 * 32, xb
+    return lut.reshape(-1, 128), sq8, xb
 
 
 def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
@@ -217,20 +238,21 @@ def pcf_shadow_proj(
     if use_lut is None:
         use_lut = jax.default_backend() == "tpu"
     if use_lut:
-        lutp, sq, xb = build_window_lut(shadow_map)
-        j = (
-            ((start_y % 4) * 4 + start_x % 4) * sq + start_y // 4
-        ) * (xb * 32) + start_x // 4
+        lutp, sq8, xb = build_window_lut(shadow_map)
+        jrow, k = window_row_index(start_y, start_x, sq8, xb)
         # Out-of-frustum pixels return 0 without reading the map — point
         # their (discarded) window gathers at one cached row.
-        j = jnp.where(outside, 0, j)
-        row = lutp[j // 8]  # (..., 128): 8 packed windows, one row gather
-        k = j % 8
+        jrow = jnp.where(outside, 0, jrow)
+        row = lutp[jrow]  # (..., 128): 8 packed windows, one row gather
         window = row[..., 0:16]
         for kk in range(1, 8):
             window = jnp.where(
                 (k == kk)[..., None], row[..., 16 * kk : 16 * kk + 16], window
             )  # flat (..., 16), lanes [r*4 + c]
+        # Fence: without it XLA relayouts the gathered 128-lane rows (1 GB,
+        # a 3.2 ms copy at 1080p) to channel-first before this extraction;
+        # fencing makes the 8x smaller (..., 16) window the layout boundary.
+        window = jax.lax.optimization_barrier(window)
     else:
         padded = jnp.pad(shadow_map, 2, mode="wrap")
         sp = s + 4

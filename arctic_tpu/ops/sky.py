@@ -55,12 +55,20 @@ def sample_environment_cf(env, dx: Array, dy: Array, dz: Array):
     v = -v  # skybox.hlsl:83
     atlas = getattr(env, "atlas", None)
     if atlas is not None:
-        from arctic_tpu.ops.sampling import sample_quads_flat
-
         reg = atlas.regions[0, 0]
-        out = sample_quads_flat(
-            atlas.quads, atlas.block_grid, reg[0], reg[1], reg[2], reg[3], u, v
-        )
+        if atlas.quads_packed is not None:
+            from arctic_tpu.ops.sampling import sample_quads_packed
+
+            out = sample_quads_packed(
+                atlas.quads_packed, atlas.block_grid,
+                reg[0], reg[1], reg[2], reg[3], u, v,
+            )
+        else:
+            from arctic_tpu.ops.sampling import sample_quads_flat
+
+            out = sample_quads_flat(
+                atlas.quads, atlas.block_grid, reg[0], reg[1], reg[2], reg[3], u, v
+            )
         return out[..., 0], out[..., 1], out[..., 2]
     data = getattr(env, "data", env)
     out = sample_bilinear_wrap(data, jnp.stack([u, v], axis=-1))

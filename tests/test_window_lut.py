@@ -21,14 +21,13 @@ def test_pcf_paths_bit_identical(rng):
 def test_window_lut_exact(rng):
     s = 64
     smap = rng.uniform(0.1, 0.9, (s, s)).astype(np.float32)
-    lutp, sq, xb = shadow.build_window_lut(jnp.asarray(smap))
-    # Packed rows: window j lives at lanes [16*(j%8), +16) of row j//8.
-    lut = np.asarray(lutp).reshape(-1, 16)
+    lutp, sq8, xb = shadow.build_window_lut(jnp.asarray(smap))
+    lut = np.asarray(lutp)
     padded = np.pad(smap, 2, mode="wrap")
     # Check a spread of window origins, including borders and odd phases.
     for y in [0, 1, 2, 3, 5, 17, s - 1, s]:
         for x in [0, 1, 2, 3, 8, 33, s - 1, s]:
-            idx = (((y % 4) * 4 + x % 4) * sq + y // 4) * (xb * 32) + x // 4
-            got = lut[idx].reshape(4, 4)
+            row, k = shadow.window_row_index(y, x, sq8, xb)
+            got = lut[row, 16 * k : 16 * k + 16].reshape(4, 4)
             want = padded[y : y + 4, x : x + 4]
             np.testing.assert_array_equal(got, want, err_msg=f"window ({y},{x})")

@@ -133,7 +133,7 @@ def main():
         x = hdr.astype(jnp.float16).astype(jnp.float32)
         ldr = tonemap.tonemap(x, settings.tm_method, settings.gamma, settings.exposure, channel_axis=-2)
         img = tonemap.to_unorm8(ldr)
-        return raster_tiles.untile_channels_first(
+        return raster_tiles.untile_packed_u8(
             img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
         )[:H, :W]
 

@@ -53,8 +53,8 @@ def main():
         wy = jnp.floor(ty).astype(jnp.int32) - 1
         start_y = jnp.clip(wy + 2, 0, s)
         start_x = jnp.clip(wx + 2, 0, s)
-        j = (((start_y % 4) * 4 + start_x % 4) * sq + start_y // 4) * (xb * 32) + start_x // 4
-        return lutp[j // 8]
+        jrow, _k = shadow_ops.window_row_index(start_y, start_x, sq, xb)
+        return lutp[jrow]
 
     t, _ = timeit(gather_only, lutp, x, y)
     print(f"window gather:    {t*1e3:8.2f} ms", flush=True)
