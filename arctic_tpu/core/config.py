@@ -40,6 +40,11 @@ class RenderConfig:
     # Triangles processed per inner rasterizer step (list chunk size).
     raster_chunk: int = 128
 
+    # Tiles processed per raster-kernel grid step: amortizes the ~1 us
+    # per-step sequencing/writeback overhead over several (often sparsely
+    # populated) tiles. Pure scheduling knob — results are invariant.
+    tiles_per_step: int = 4
+
     # Capacity of the (tile, triangle) pair buffer as a multiple of the
     # triangle capacity, plus a flat reserve for large-footprint triangles.
     # Every binning op scales with this *capacity* (not actual pairs), so it

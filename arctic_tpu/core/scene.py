@@ -160,13 +160,16 @@ class Geometry:
     # shading path needs ZERO per-frame vertex gathers (XLA gathers are
     # latency-bound at ~14 ns/row; the old per-frame shade-table build paid
     # ~38 ms/frame in them). None on hand-built Geometry; io.build fills them.
-    tri_corner_pos: jnp.ndarray = None  # (T, 3, 3) f32 object-space corners
+    # Component-plane layouts ((K, T) with the triangle dim MINOR): these are
+    # read whole every frame, and small-minor forms like (T, 4, 4) are
+    # tile-padded up to 32x by XLA's (8, 128) layout.
+    tri_corner_pos: jnp.ndarray = None  # (9, T) f32 object-space corners, row c*3+i
     tri_obj: jnp.ndarray = None  # (T,) i32 object id per triangle
-    tri_trs: jnp.ndarray = None  # (T, 4, 4) f32 world TRS per triangle
+    tri_trs: jnp.ndarray = None  # (16, T) f32 world TRS per triangle, row i*4+j
     #   (= object_trs[tri_obj] gathered once at build; saves a 64B-row
     #    gather per triangle per frame)
-    tri_static_attrs: jnp.ndarray = None  # (T, 3, 11) f32 [n, t, b, uv]/corner
-    tri_matrow: jnp.ndarray = None  # (T, 23) f32 [regions 12, mr_c 4, nm_c 3, combined region 4]
+    tri_static_attrs: jnp.ndarray = None  # (33, T) f32 [n, t, b, uv] row c*11+k
+    tri_matrow: jnp.ndarray = None  # (23, T) f32 [regions 12, mr_c 4, nm_c 3, combined region 4]
 
     @property
     def capacity(self) -> int:

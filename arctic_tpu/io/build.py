@@ -265,10 +265,17 @@ def build_buffers(
         tri_material=jnp.asarray(tri_mat),
         object_trs=jnp.asarray(np.stack(trs_list)),
         num_tris=jnp.int32(num_tris),
-        tri_corner_pos=jnp.asarray(tri_corner_pos),
+        # Component planes (K, T): see core/scene.py Geometry docs.
+        tri_corner_pos=jnp.asarray(
+            tri_corner_pos.reshape(-1, 9).T.copy()
+        ),
         tri_obj=jnp.asarray(tri_obj),
-        tri_trs=jnp.asarray(np.stack(trs_list)[tri_obj].astype(np.float32)),
-        tri_static_attrs=jnp.asarray(tri_static_attrs),
+        tri_trs=jnp.asarray(
+            np.stack(trs_list)[tri_obj].astype(np.float32).reshape(-1, 16).T.copy()
+        ),
+        tri_static_attrs=jnp.asarray(
+            tri_static_attrs.reshape(-1, 33).T.copy()
+        ),
         tri_matrow=None,  # filled below once the atlas regions exist
     )
 
@@ -364,7 +371,7 @@ def build_buffers(
     import dataclasses as _dc
 
     geometry = _dc.replace(
-        geometry, tri_matrow=jnp.asarray(matrow_by_mat[tri_mat])
+        geometry, tri_matrow=jnp.asarray(matrow_by_mat[tri_mat].T.copy())
     )
 
     env_np = np.asarray(environment, np.float32)

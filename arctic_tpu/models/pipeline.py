@@ -60,33 +60,46 @@ def to_clip(world: Array, proj_view: Array) -> Array:
     return jnp.matmul(wh, proj_view.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def world_corners(geom: Geometry) -> Array:
-    """Tri-major world-space corner positions (T, 3, 3), zero gathers.
+def world_corners(geom: Geometry):
+    """Tri-major world-space corner positions as dense components.
 
-    The per-vertex formulation (vertex_world_positions + clip_verts[indices])
-    pays 3T latency-bound row gathers per raster pass; the tri-major corners
-    and per-triangle TRS are precomputed at scene build, so this is one
-    batched small matmul."""
-    trs = geom.tri_trs
+    Returns ``wc[c] = (x, y, z)`` of (T,) arrays. The per-vertex formulation
+    (vertex_world_positions + clip_verts[indices]) pays 3T latency-bound row
+    gathers per raster pass; the tri-major corners and per-triangle TRS are
+    precomputed at scene build as dense component planes ((9, T) / (16, T)),
+    so this is a pure fusable elementwise chain — no small-minor arrays
+    (XLA tile-pads a (T, 4, 4) buffer 32x and a (T, 3, 3) ~14x)."""
+    trs = geom.tri_trs  # (16, T) rows i * 4 + j
     if trs is None:  # hand-built Geometry without build_buffers
-        trs = geom.object_trs[geom.tri_obj]
-    t_cap = geom.capacity
-    ph = jnp.concatenate(
-        [geom.tri_corner_pos, jnp.ones((t_cap, 3, 1), jnp.float32)], axis=-1
-    )
-    return jnp.einsum(
-        "tij,tkj->tki", trs, ph, precision=jax.lax.Precision.HIGHEST
-    )[..., :3]
+        m = geom.object_trs[geom.tri_obj]  # (T, 4, 4) — cold path
+        trs = [m[:, i, j] for i in range(4) for j in range(4)]
+    cp = geom.tri_corner_pos  # (9, T) rows c * 3 + i
+    out = []
+    for c in range(3):
+        px, py, pz = cp[3 * c], cp[3 * c + 1], cp[3 * c + 2]
+        out.append(
+            tuple(
+                trs[4 * i] * px + trs[4 * i + 1] * py + trs[4 * i + 2] * pz
+                + trs[4 * i + 3]
+                for i in range(3)
+            )
+        )
+    return tuple(out)
 
 
-def corners_clip(wc: Array, proj_view: Array) -> Array:
-    """(T, 3, 3) world corners -> (T, 3, 4) clip positions."""
-    wch = jnp.concatenate(
-        [wc, jnp.ones(wc.shape[:2] + (1,), jnp.float32)], axis=-1
-    )
-    return jnp.einsum(
-        "ij,tkj->tki", proj_view, wch, precision=jax.lax.Precision.HIGHEST
-    )
+def corners_clip(wc, proj_view: Array):
+    """World corner components -> clip components ``out[c] = (x, y, z, w)``."""
+    pv = proj_view
+    out = []
+    for c in range(3):
+        x, y, z = wc[c]
+        out.append(
+            tuple(
+                pv[i, 0] * x + pv[i, 1] * y + pv[i, 2] * z + pv[i, 3]
+                for i in range(4)
+            )
+        )
+    return tuple(out)
 
 
 def _rasterize(
@@ -114,14 +127,14 @@ def _rasterize(
 
 
 def shadow_pass(
-    geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip: Array | None = None
+    geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip=None
 ) -> Array:
     """Depth-only pass from the sun's view (shadow_map_pass.cpp:113-169).
 
     Front-face culling for acne control (shadow_map_pass.cpp:97); the map is
     cleared to 1.0 and keeps z of the nearest *back* faces. ``sun_clip``
-    (tri-major (T, 3, 4) corner clip positions) may be passed in to share the
-    transform with the shade-row build.
+    (tri-major corner clip components, see corners_clip) may be passed in to
+    share the transform with the shade-row build.
     """
     if sun_clip is None:
         sun_clip = corners_clip(world_corners(geom), sun_pv)
@@ -173,13 +186,14 @@ def build_shade_table(
     attrs = jnp.concatenate([world, nrm, tan, btn, geom.uvs], axis=1)  # (V, 14)
     vidx = geom.indices[setup.orig_tri]  # (P, 3)
     av = [attrs[vidx[:, i]] for i in range(3)]  # 3 x (P, 14)
-    cb = setup.corner_bary  # (P, 3, 3): [corner, orig_vertex]
+    cb = setup.cb  # 3 x 3 x (P,): [corner][orig_vertex]
     corner_attr = [
-        cb[:, c, 0, None] * av[0] + cb[:, c, 1, None] * av[1] + cb[:, c, 2, None] * av[2]
+        cb[c][0][:, None] * av[0] + cb[c][1][:, None] * av[1] + cb[c][2][:, None] * av[2]
         for c in range(3)
     ]
     ebw = [
-        setup.edges[:, c, :] * (setup.inv_area2 / setup.w[:, c])[:, None]
+        jnp.stack(list(setup.edges[c]), axis=-1)
+        * (setup.inv_area2 / setup.w[c])[:, None]
         for c in range(3)
     ]
     mat = geom.tri_material[setup.orig_tri]  # (P,)
@@ -195,8 +209,8 @@ def build_shade_rows(
     setup: raster.TriSetup,
     geom: Geometry,
     sun_pv: Array,
-    wc: Array | None = None,
-    lsp: Array | None = None,
+    wc=None,
+    lsp=None,
 ) -> Array:
     """Full 128-lane shade rows per slot for the fused select+interp kernel.
 
@@ -205,7 +219,9 @@ def build_shade_rows(
     (raster.near_clip_triangles), i.e. orig_tri == [0..T, 0..T], so tri-major
     data concatenates straight into slot order, and the per-corner world /
     light-space positions come from the precomputed tri-major corner
-    positions + one small TRS lookup.
+    positions + the per-triangle TRS planes. Everything is dense (P,)
+    components feeding ONE stack — XLA fuses the whole build into the
+    table write with no tile-padded intermediates.
 
     Lane layout (groups 8-aligned for the kernel's sublane slices):
       [0:9)    perspective-bary planes (A,B,C per corner, * inv_area2 / w_c)
@@ -224,40 +240,46 @@ def build_shade_rows(
     # World + light-space corners, shared with the raster setup when the
     # caller already computed them (render_frame_stats computes both once).
     if wc is None:
-        wc = world_corners(geom)  # (T, 3, 3)
+        wc = world_corners(geom)  # corner components
     if lsp is None:
-        lsp = corners_clip(wc, sun_pv)[..., :3]  # sun is ortho: clip w == 1
-    tri_attr = jnp.concatenate([wc, geom.tri_static_attrs, lsp], axis=-1)  # (T,3,17)
+        sc = corners_clip(wc, sun_pv)
+        lsp = tuple(c[:3] for c in sc)  # sun is ortho: clip w == 1
 
-    att = jnp.concatenate([tri_attr, tri_attr], axis=0)  # (P, 3, 17) slot-major
-    cb = setup.corner_bary  # (P, 3, 3) weights over original corners
-    # Explicit mul-adds, not einsum: XLA lowers the (P,3)x(P,3,17) batched
-    # contraction through transposes it can't fuse; this form is a pure
-    # elementwise chain that fuses into the consuming concat.
+    def dup(a):  # tri-major (T,) -> slot-major (P,)
+        return jnp.concatenate([a, a])
+
+    # att[k] = 17 components of original corner k, slot-major.
+    sa = geom.tri_static_attrs  # (33, T) rows k * 11 + j
+    att = [
+        [dup(x) for x in (*wc[k], *(sa[11 * k + j] for j in range(11)), *lsp[k])]
+        for k in range(3)
+    ]
+
+    cb = setup.cb  # 3 x 3 x (P,)
     corner_attr = [
-        cb[:, c, 0, None] * att[:, 0, :]
-        + cb[:, c, 1, None] * att[:, 1, :]
-        + cb[:, c, 2, None] * att[:, 2, :]
-        for c in range(3)
-    ]  # 3 x (P, 17)
-
-    ebw = jnp.concatenate(
         [
-            setup.edges[:, c, :] * (setup.inv_area2 / setup.w[:, c])[:, None]
-            for c in range(3)
-        ],
-        axis=1,
-    )  # (P, 9)
-    sid = jnp.arange(p, dtype=jnp.float32)[:, None]
-    matrow = jnp.concatenate([geom.tri_matrow, geom.tri_matrow], axis=0)  # (P, 23)
+            cb[c][0] * att[0][j] + cb[c][1] * att[1][j] + cb[c][2] * att[2][j]
+            for j in range(17)
+        ]
+        for c in range(3)
+    ]
 
-    z = lambda n: jnp.zeros((p, n), jnp.float32)
-    rows = jnp.concatenate(
-        [ebw, sid, z(6), corner_attr[0], z(7), corner_attr[1], z(7),
-         corner_attr[2], z(7), matrow, z(17)],
-        axis=1,
-    )
-    assert rows.shape == (p, 128), rows.shape
+    z = jnp.zeros((p,), jnp.float32)
+    comps = []
+    for c in range(3):  # ebw: [0:9)
+        A, B, C = setup.edges[c]
+        s = setup.inv_area2 / setup.w[c]
+        comps += [A * s, B * s, C * s]
+    comps.append(jnp.arange(p, dtype=jnp.float32))  # sid [9]
+    comps += [z] * 6
+    for c in range(3):
+        comps += corner_attr[c]
+        comps += [z] * 7
+    mr = geom.tri_matrow  # (23, T)
+    comps += [dup(mr[j]) for j in range(23)]
+    comps += [z] * 17
+    assert len(comps) == 128
+    rows = jnp.stack(comps, axis=1)
     # Match pack_raster_rows' padded row count so align_segments' dead-slot
     # index is valid for this table too; padded rows get sid -2 (never match).
     n_pad = (-(p + 1)) % 8 + 1
@@ -575,7 +597,8 @@ def render_frame_stats(
                 clipped, config.width, config.height, cull="back"
             )
             shade_rows = build_shade_rows(
-                setup, geom, sun_pv, wc=wc, lsp=sun_clip[..., :3]
+                setup, geom, sun_pv, wc=wc,
+                lsp=tuple(c[:3] for c in sun_clip),
             )
             # Materialization fence: without it XLA fuses the row-table
             # concat into the 600k-row alignment gather's consumer, and the

@@ -81,7 +81,7 @@ def _tile_footprints(
     tile_row0=0,
 ):
     """Per-slot tile bbox + pair counts: (counts, tx0, ty0, w)."""
-    x0, y0, x1, y1 = (setup.bbox[:, i] for i in range(4))
+    x0, y0, x1, y1 = setup.bbox
     valid = setup.valid
 
     tx0 = jnp.clip((x0 / tile_w).astype(jnp.int32), 0, tiles_x - 1)
@@ -198,9 +198,14 @@ def pack_raster_rows(setup: TriSetup) -> Array:
     """
     p = setup.capacity
     assert p < (1 << 24), "slot ids must be exactly representable in f32"
-    e = setup.edges.reshape(p, 9)
-    slot_f = jnp.arange(p, dtype=jnp.float32)[:, None]
-    pad = jnp.zeros((p, 3), jnp.float32)
-    rows = jnp.concatenate([e, setup.zplane, slot_f, pad], axis=1)
+    comps = [c for e in setup.edges for c in e]  # A0 B0 C0 A1 ... C2
+    comps += list(setup.zplane)
+    comps.append(jnp.arange(p, dtype=jnp.float32))
+    z = jnp.zeros((p,), jnp.float32)
+    comps += [z, z, z]
+    # Dense (P,) components stack straight into the row table — XLA fuses
+    # the component math into this concat, so no tile-padded small-minor
+    # intermediates are ever materialized.
+    rows = jnp.stack(comps, axis=1)
     n_pad = (-(p + 1)) % 8 + 1
     return jnp.pad(rows, ((0, n_pad), (0, 0)))

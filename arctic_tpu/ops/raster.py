@@ -63,16 +63,34 @@ _CLIP_NOUT = jnp.array([0, 1, 1, 2, 1, 2, 2, 1], jnp.int32)
 class ClippedTris:
     """Output of near-plane clipping: 2 static slots per input triangle.
 
-    ``corner_bary[p, c]`` gives the barycentric weights of clipped-triangle
-    corner ``c`` over the three vertices of the *original* triangle — clip
-    space is linear in world space, so these weights interpolate any vertex
-    attribute exactly.
+    COMPONENT LAYOUT: every per-slot quantity is a plain dense (P,) array
+    (nested tuples index [corner] / [corner][orig_vertex]). Small-minor
+    arrays like (P, 3, 4) are tile-padded by XLA ((3, 4) -> (8, 128), 10-40x
+    memory), which made the whole setup chain HBM-bound; components keep it
+    at true size and let every consumer fuse.
+
+    ``cb[c][k]`` gives the barycentric weight of clipped-triangle corner
+    ``c`` over original-triangle vertex ``k`` — clip space is linear in
+    world space, so these weights interpolate any vertex attribute exactly.
     """
 
-    clip: Array  # (P, 3, 4) clip-space positions of clipped triangles
-    corner_bary: Array  # (P, 3, 3)
-    orig_tri: Array  # (P,) i32 index into the input triangle list
+    cx: tuple  # 3 x (P,) clip-space x per corner
+    cy: tuple
+    cz: tuple
+    cw: tuple
+    cb: tuple  # 3 x 3 x (P,) corner_bary[corner][orig_vertex]
     valid: Array  # (P,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.valid.shape[0]
+
+    @property
+    def orig_tri(self) -> Array:
+        # Slots are always [primary tris; secondary tris].
+        t = self.capacity // 2
+        ar = jnp.arange(t, dtype=jnp.int32)
+        return jnp.concatenate([ar, ar])
 
 
 def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> ClippedTris:
@@ -81,22 +99,26 @@ def near_clip_triangles(clip_verts: Array, indices: Array, tri_valid: Array) -> 
     The reference gets this from fixed-function clipping; here each input
     triangle owns 2 output slots (a clipped triangle fans into at most 2).
     """
-    return near_clip_corners(clip_verts[indices], tri_valid)
+    v = clip_verts[indices]  # (T, 3, 4)
+    corners = tuple(
+        tuple(v[:, c, i] for i in range(4)) for c in range(3)
+    )
+    return near_clip_corners(corners, tri_valid)
 
 
-def near_clip_corners(v: Array, tri_valid: Array) -> ClippedTris:
-    """near_clip_triangles on tri-major (T, 3, 4) corner clip positions.
+def near_clip_corners(corners, tri_valid: Array) -> ClippedTris:
+    """near_clip_triangles on tri-major corner components.
 
-    The hot path computes clip corners directly from precomputed tri-major
-    world corners (pipeline.world_corners) — the per-vertex formulation costs
-    3T latency-bound row gathers per pass (~10 ms/frame at 250k tris)."""
-    tcount = v.shape[0]
-    z = v[..., 2]
-    inside = z >= 0.0  # (T, 3)
+    ``corners[c] = (x, y, z, w)`` of (T,) arrays. The hot path computes
+    these directly from precomputed tri-major world corners
+    (pipeline.world_corners) — the per-vertex formulation costs 3T
+    latency-bound row gathers per pass (~10 ms/frame at 250k tris)."""
+    tcount = tri_valid.shape[0]
+    inside = [corners[c][2] >= 0.0 for c in range(3)]
     code = (
-        inside[:, 0].astype(jnp.int32)
-        + 2 * inside[:, 1].astype(jnp.int32)
-        + 4 * inside[:, 2].astype(jnp.int32)
+        inside[0].astype(jnp.int32)
+        + 2 * inside[1].astype(jnp.int32)
+        + 4 * inside[2].astype(jnp.int32)
     )
     rot = _CLIP_ROT[code]  # (T,)
     nout = jnp.where(tri_valid, _CLIP_NOUT[code], 0)
@@ -104,65 +126,75 @@ def near_clip_corners(v: Array, tri_valid: Array) -> ClippedTris:
     # Rotate vertices so inside ones come first (cyclic: winding preserved).
     # Branch-free 3-way selects: the obvious take_along_axis gathers cost
     # ~60 ms/frame on TPU, selects are plain VPU ops.
-    eye3 = jnp.eye(3, dtype=jnp.float32)
-
     def pick(cidx):
         i = (cidx + rot) % 3
-        m0 = (i == 0)[:, None]
-        m1 = (i == 1)[:, None]
-        vert = jnp.where(m0, v[:, 0], jnp.where(m1, v[:, 1], v[:, 2]))
-        bary = jnp.where(
-            m0,
-            jnp.broadcast_to(eye3[0], (tcount, 3)),
-            jnp.where(
-                m1,
-                jnp.broadcast_to(eye3[1], (tcount, 3)),
-                jnp.broadcast_to(eye3[2], (tcount, 3)),
-            ),
+        m0 = i == 0
+        m1 = i == 1
+        vert = tuple(
+            jnp.where(m0, corners[0][j], jnp.where(m1, corners[1][j], corners[2][j]))
+            for j in range(4)
         )
+        bary = tuple((i == k).astype(jnp.float32) for k in range(3))
         return vert, bary
 
     (a, ba), (b, bb), (c, bc) = pick(0), pick(1), pick(2)
-    za, zb, zc = a[:, 2], b[:, 2], c[:, 2]
+    za, zb, zc = a[2], b[2], c[2]
 
     def lerp(p, q, t):
-        return p + t[:, None] * (q - p)
+        # componentwise over 3- or 4-tuples
+        return tuple(pp + t * (qq - pp) for pp, qq in zip(p, q))
 
     safe = lambda n, d: n / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
 
     # Case one-in (a in; b, c out): triangle (a, ab, ac).
     t_ab = safe(za, za - zb)
     t_ac = safe(za, za - zc)
-    one_tri = jnp.stack([a, lerp(a, b, t_ab), lerp(a, c, t_ac)], axis=1)
-    one_bary = jnp.stack([ba, lerp(ba, bb, t_ab), lerp(ba, bc, t_ac)], axis=1)
+    one_tri = (a, lerp(a, b, t_ab), lerp(a, c, t_ac))
+    one_bary = (ba, lerp(ba, bb, t_ab), lerp(ba, bc, t_ac))
 
     # Case two-in (a, b in; c out): fan (a, b, bc) + (a, bc, ac).
     t_bc = safe(zb, zb - zc)
     t_ca = safe(za, za - zc)
     p_bc, bb_bc = lerp(b, c, t_bc), lerp(bb, bc, t_bc)
     p_ac, bb_ac = lerp(a, c, t_ca), lerp(ba, bc, t_ca)
-    two_tri0 = jnp.stack([a, b, p_bc], axis=1)
-    two_bary0 = jnp.stack([ba, bb, bb_bc], axis=1)
-    two_tri1 = jnp.stack([a, p_bc, p_ac], axis=1)
-    two_bary1 = jnp.stack([ba, bb_bc, bb_ac], axis=1)
+    two0 = ((a, b, p_bc), (ba, bb, bb_bc))
+    two1 = ((a, p_bc, p_ac), (ba, bb_bc, bb_ac))
 
-    is_all_in = (code == 7)[:, None, None]
-    is_one_in = ((code == 1) | (code == 2) | (code == 4))[:, None, None]
-    vr = jnp.stack([a, b, c], axis=1)
-    br = jnp.stack([ba, bb, bc], axis=1)
-    out0 = jnp.where(is_all_in, vr, jnp.where(is_one_in, one_tri, two_tri0))
-    bary0 = jnp.where(is_all_in, br, jnp.where(is_one_in, one_bary, two_bary0))
-    out1, bary1 = two_tri1, two_bary1
+    is_all_in = code == 7
+    is_one_in = (code == 1) | (code == 2) | (code == 4)
+    orig = ((a, b, c), (ba, bb, bc))
+
+    def sel(orig_v, one_v, two_v):
+        return jnp.where(is_all_in, orig_v, jnp.where(is_one_in, one_v, two_v))
 
     # Slot layout: [all primary outputs; all secondary outputs] — a concat,
     # not an interleave (interleaving is a transpose XLA pays for at every
     # consumer). Secondary clip halves therefore sort after all primaries in
     # draw order; only exactly-coplanar clipped geometry could notice.
-    ar = jnp.arange(tcount, dtype=jnp.int32)
+    def cat(p0, p1):
+        return jnp.concatenate([p0, p1])
+
+    coords = []
+    for j in range(4):  # x, y, z, w
+        coords.append(
+            tuple(
+                cat(sel(orig[0][cc][j], one_tri[cc][j], two0[0][cc][j]), two1[0][cc][j])
+                for cc in range(3)
+            )
+        )
+    cb_out = tuple(
+        tuple(
+            cat(sel(orig[1][cc][k], one_bary[cc][k], two0[1][cc][k]), two1[1][cc][k])
+            for k in range(3)
+        )
+        for cc in range(3)
+    )
     return ClippedTris(
-        clip=jnp.concatenate([out0, out1], axis=0),
-        corner_bary=jnp.concatenate([bary0, bary1], axis=0),
-        orig_tri=jnp.concatenate([ar, ar]),
+        cx=coords[0],
+        cy=coords[1],
+        cz=coords[2],
+        cw=coords[3],
+        cb=cb_out,
         valid=jnp.concatenate([nout >= 1, nout >= 2]),
     )
 
@@ -174,22 +206,50 @@ def near_clip_corners(v: Array, tri_valid: Array) -> ClippedTris:
 
 @_pytree_dataclass
 class TriSetup:
-    """Per-slot screen-space triangle data consumed by raster + shading."""
+    """Per-slot screen-space triangle data consumed by raster + shading.
 
-    screen: Array  # (P, 3, 2) snapped screen xy (y down)
-    w: Array  # (P, 3) clip w per corner
-    zplane: Array  # (P, 3) depth plane [Az, Bz, Cz]: z(p) = Az x + Bz y + Cz
-    edges: Array  # (P, 3, 3) oriented edge coeffs [A, B, C]; C includes the
-    #                fill-rule bias; e_i >= 0 for all i <=> pixel covered
+    COMPONENT LAYOUT: dense (P,) arrays in nested tuples (see ClippedTris) —
+    the *_arr() helpers materialize the legacy stacked views for cold paths
+    (brute-force rasterizer, deferred shading, tests)."""
+
+    sx: tuple  # 3 x (P,) snapped screen x per corner
+    sy: tuple  # 3 x (P,) snapped screen y (y down)
+    w: tuple  # 3 x (P,) clip w per corner
+    zplane: tuple  # (Az, Bz, Cz) of (P,): z(p) = Az x + Bz y + Cz
+    edges: tuple  # 3 x (A, B, C) of (P,) oriented edge coeffs; C includes
+    #               the fill-rule bias; e_i >= 0 for all i <=> pixel covered
     inv_area2: Array  # (P,) 1 / |signed area * 2| for barycentrics
-    corner_bary: Array  # (P, 3, 3) weights over original triangle vertices
-    orig_tri: Array  # (P,) i32
+    cb: tuple  # 3 x 3 x (P,) weights over original triangle vertices
     valid: Array  # (P,) bool
-    bbox: Array  # (P, 4) f32 screen bbox (x0, y0, x1, y1), clamped to viewport
+    bbox: tuple  # (x0, y0, x1, y1) of (P,) f32, clamped to viewport
 
     @property
     def capacity(self) -> int:
-        return self.screen.shape[0]
+        return self.valid.shape[0]
+
+    @property
+    def orig_tri(self) -> Array:
+        t = self.capacity // 2
+        ar = jnp.arange(t, dtype=jnp.int32)
+        return jnp.concatenate([ar, ar])
+
+    # Legacy stacked views (cold paths only — these materialize tile-padded
+    # small-minor arrays).
+    def edges_arr(self) -> Array:  # (P, 3, 3)
+        return jnp.stack(
+            [jnp.stack(list(e), axis=-1) for e in self.edges], axis=1
+        )
+
+    def zplane_arr(self) -> Array:  # (P, 3)
+        return jnp.stack(list(self.zplane), axis=-1)
+
+    def w_arr(self) -> Array:  # (P, 3)
+        return jnp.stack(list(self.w), axis=-1)
+
+    def corner_bary_arr(self) -> Array:  # (P, 3, 3)
+        return jnp.stack(
+            [jnp.stack(list(row), axis=-1) for row in self.cb], axis=1
+        )
 
 
 def _canonical_edge(ax, ay, bx, by):
@@ -227,16 +287,20 @@ def setup_screen_triangles(
     keeps the opposite set (shadow pass, shadow_map_pass.cpp:97); "none"
     keeps both.
     """
-    clip = tris.clip
-    w = clip[..., 3]
-    ndc = clip[..., :3] / w[..., None]
+    w = tris.cw  # 3 x (P,)
     # D3D viewport transform (y flip), snapped to the 1/16 px grid.
-    sx = jnp.round((ndc[..., 0] + 1.0) * (0.5 * width) * SNAP) / SNAP
-    sy = jnp.round((1.0 - ndc[..., 1]) * (0.5 * height) * SNAP) / SNAP
-    z = ndc[..., 2]
+    sx = tuple(
+        jnp.round((tris.cx[c] / w[c] + 1.0) * (0.5 * width) * SNAP) / SNAP
+        for c in range(3)
+    )
+    sy = tuple(
+        jnp.round((1.0 - tris.cy[c] / w[c]) * (0.5 * height) * SNAP) / SNAP
+        for c in range(3)
+    )
+    z = tuple(tris.cz[c] / w[c] for c in range(3))
 
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    x0, x1, x2 = sx
+    y0, y1, y2 = sy
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
 
     # Front faces (visually CCW, y-down coords) have area2 < 0.
@@ -263,24 +327,20 @@ def setup_screen_triangles(
     inv_area2 = 1.0 / jnp.where(area2 == 0, 1.0, jnp.abs(area2))
 
     # Depth plane from the oriented edges: z(p) = sum_i e_i(p) z_i / |area2|.
-    zs = [z[:, 0], z[:, 1], z[:, 2]]
-    Az = sum(edges[i][0] * zs[i] for i in range(3)) * inv_area2
-    Bz = sum(edges[i][1] * zs[i] for i in range(3)) * inv_area2
-    Cz = sum(edges[i][2] * zs[i] for i in range(3)) * inv_area2
+    Az = sum(edges[i][0] * z[i] for i in range(3)) * inv_area2
+    Bz = sum(edges[i][1] * z[i] for i in range(3)) * inv_area2
+    Cz = sum(edges[i][2] * z[i] for i in range(3)) * inv_area2
+
+    valid = tris.valid & keep & jnp.isfinite(area2)
 
     # Fill rule: include the boundary only on top (A==0, B>0) and left (A>0)
-    # edges; bias everything else out by a sub-quantum epsilon.
+    # edges; bias everything else out by a sub-quantum epsilon. Dead slots:
+    # make every inside test fail without branching.
     biased = []
     for A, B, C in edges:
         top_left = ((A == 0) & (B > 0)) | (A > 0)
-        biased.append((A, B, C + jnp.where(top_left, 0.0, -EDGE_EPS)))
-
-    valid = tris.valid & keep & jnp.isfinite(area2)
-    edge_arr = jnp.stack(
-        [jnp.stack(e, axis=-1) for e in biased], axis=1
-    )  # (P, 3, 3)
-    # Dead slots: make every inside test fail without branching.
-    edge_arr = jnp.where(valid[:, None, None], edge_arr, edge_arr.at[:, :, 2].set(DEAD_C))
+        Cb = C + jnp.where(top_left, 0.0, -EDGE_EPS)
+        biased.append((A, B, jnp.where(valid, Cb, DEAD_C)))
 
     bx0 = jnp.clip(jnp.minimum(jnp.minimum(x0, x1), x2), 0.0, float(width))
     bx1 = jnp.clip(jnp.maximum(jnp.maximum(x0, x1), x2), 0.0, float(width))
@@ -289,15 +349,15 @@ def setup_screen_triangles(
     valid = valid & (bx1 > bx0) & (by1 > by0)
 
     return TriSetup(
-        screen=jnp.stack([sx, sy], axis=-1),
+        sx=sx,
+        sy=sy,
         w=w,
-        zplane=jnp.stack([Az, Bz, Cz], axis=-1),
-        edges=edge_arr,
+        zplane=(Az, Bz, Cz),
+        edges=tuple(biased),
         inv_area2=inv_area2,
-        corner_bary=tris.corner_bary,
-        orig_tri=tris.orig_tri,
+        cb=tris.cb,
         valid=valid,
-        bbox=jnp.stack([bx0, by0, bx1, by1], axis=-1),
+        bbox=(bx0, by0, bx1, by1),
     )
 
 
@@ -326,9 +386,9 @@ def rasterize_bruteforce(
     """
     cap = setup.capacity
     pad = (-cap) % chunk
-    edges = jnp.pad(setup.edges, ((0, pad), (0, 0), (0, 0)))
+    edges = jnp.pad(setup.edges_arr(), ((0, pad), (0, 0), (0, 0)))
     edges = edges.at[cap:, :, 2].set(DEAD_C) if pad else edges
-    zplane = jnp.pad(setup.zplane, ((0, pad), (0, 0)))
+    zplane = jnp.pad(setup.zplane_arr(), ((0, pad), (0, 0)))
     n_chunks = (cap + pad) // chunk
 
     px, py = _pixel_centers(height, width, y_offset)
@@ -382,10 +442,10 @@ def pixel_barycentrics(
     """
     slot = jnp.maximum(ibuf, 0)
     covered = ibuf >= 0
-    e = setup.edges[slot]  # (H, W, 3, 3)
-    w = setup.w[slot]  # (H, W, 3)
+    e = setup.edges_arr()[slot]  # (H, W, 3, 3)
+    w = setup.w_arr()[slot]  # (H, W, 3)
     inv_a = setup.inv_area2[slot]  # (H, W)
-    cb = setup.corner_bary[slot]  # (H, W, 3, 3)
+    cb = setup.corner_bary_arr()[slot]  # (H, W, 3, 3)
 
     px, py = _pixel_centers(height, width, y_offset)
     ev = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]

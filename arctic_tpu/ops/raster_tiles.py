@@ -52,74 +52,80 @@ def _raster_kernel(
     tile_w: int,
     chunk: int,
     depth_only: bool = False,
+    tps: int = 1,
 ):
-    t = pl.program_id(0)
-    start = seg_start_ref[t]  # 8-aligned row offset into the triangle table
-    n = seg_len_ref[t]
-
+    step = pl.program_id(0)
     sublanes = tile_h * tile_w // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 0)
     p = sub * 128 + lane  # row-major pixel index within the tile
-    tx = t % tiles_x
-    ty = row0_ref[0] + t // tiles_x  # global tile row (sharded slices)
-    px = (tx * tile_w + p % tile_w).astype(jnp.float32) + 0.5
-    py = (ty * tile_h + p // tile_w).astype(jnp.float32) + 0.5
-
-    zref[0] = jnp.ones((sublanes, 128), jnp.float32)
-    iref[0] = jnp.full((sublanes, 128), -1, jnp.int32)
-
     groups = chunk // 8  # table rows are packed 8 logical rows per 128 lanes
 
-    def chunk_dma(c, slot):
-        return pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(start // 8 + c * groups, groups)],
-            rows_smem.at[slot],
-            sems.at[slot],
-        )
+    # ``tps`` tiles per grid step: the per-step sequencing/writeback overhead
+    # (~1 us) would otherwise dominate kernels whose tiles carry few pairs.
+    # The seg arrays are padded to the grid (pad tiles have n == 0).
+    for i in range(tps):
+        t = step * tps + i
+        start = seg_start_ref[t]  # 8-aligned row offset into the triangle table
+        n = seg_len_ref[t]
 
-    num_chunks = pl.cdiv(n, chunk)
+        tx = t % tiles_x
+        ty = row0_ref[0] + t // tiles_x  # global tile row (sharded slices)
+        px = (tx * tile_w + p % tile_w).astype(jnp.float32) + 0.5
+        py = (ty * tile_h + p // tile_w).astype(jnp.float32) + 0.5
 
-    @pl.when(n > 0)
-    def _():
-        chunk_dma(0, 0).start()
+        zref[i] = jnp.ones((sublanes, 128), jnp.float32)
+        iref[i] = jnp.full((sublanes, 128), -1, jnp.int32)
 
-        def chunk_body(c, _):
-            slot = jax.lax.rem(c, 2)
+        def chunk_dma(c, slot, start=start):
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(start // 8 + c * groups, groups)],
+                rows_smem.at[slot],
+                sems.at[slot],
+            )
 
-            @pl.when(c + 1 < num_chunks)
-            def _():
-                chunk_dma(c + 1, 1 - slot).start()
+        num_chunks = pl.cdiv(n, chunk)
 
-            chunk_dma(c, slot).wait()
-            m = jnp.minimum(n - c * chunk, chunk)
+        @pl.when(n > 0)
+        def _(i=i, n=n, num_chunks=num_chunks, chunk_dma=chunk_dma, px=px, py=py):
+            chunk_dma(0, 0).start()
 
-            def tri_body(k, _):
-                r = lambda j: rows_smem[slot, k // 8, (k % 8) * 16 + j]
-                e0 = r(0) * px + r(1) * py + r(2)
-                e1 = r(3) * px + r(4) * py + r(5)
-                e2 = r(6) * px + r(7) * py + r(8)
-                z = r(9) * px + r(10) * py + r(11)
-                zbuf = zref[0]
-                ok = (
-                    (e0 >= 0.0)
-                    & (e1 >= 0.0)
-                    & (e2 >= 0.0)
-                    & (z >= 0.0)
-                    & (z <= 1.0)
-                    & (z < zbuf)
-                )
-                zref[0] = jnp.where(ok, z, zbuf)
-                if not depth_only:
-                    # slot id value-encoded in f32
-                    sid = r(12).astype(jnp.int32)
-                    iref[0] = jnp.where(ok, sid, iref[0])
+            def chunk_body(c, _):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < num_chunks)
+                def _():
+                    chunk_dma(c + 1, 1 - slot).start()
+
+                chunk_dma(c, slot).wait()
+                m = jnp.minimum(n - c * chunk, chunk)
+
+                def tri_body(k, _):
+                    r = lambda j: rows_smem[slot, k // 8, (k % 8) * 16 + j]
+                    e0 = r(0) * px + r(1) * py + r(2)
+                    e1 = r(3) * px + r(4) * py + r(5)
+                    e2 = r(6) * px + r(7) * py + r(8)
+                    z = r(9) * px + r(10) * py + r(11)
+                    zbuf = zref[i]
+                    ok = (
+                        (e0 >= 0.0)
+                        & (e1 >= 0.0)
+                        & (e2 >= 0.0)
+                        & (z >= 0.0)
+                        & (z <= 1.0)
+                        & (z < zbuf)
+                    )
+                    zref[i] = jnp.where(ok, z, zbuf)
+                    if not depth_only:
+                        # slot id value-encoded in f32
+                        sid = r(12).astype(jnp.int32)
+                        iref[i] = jnp.where(ok, sid, iref[i])
+                    return 0
+
+                jax.lax.fori_loop(0, m, tri_body, 0)
                 return 0
 
-            jax.lax.fori_loop(0, m, tri_body, 0)
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+            jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
 def _untile(buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int) -> Array:
@@ -443,13 +449,21 @@ def bin_and_rasterize(
     rows = jnp.pad(rows, ((0, chunk), (0, 0))).reshape(-1, 128)
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
+    # Batch tiles per grid step to amortize per-step sequencing overhead
+    # (~1 us/step; the shadow pass has ~4k mostly-small tiles).
+    tps = config.tiles_per_step
+    steps = -(-num_tiles // tps)
+    nt_pad = steps * tps
+    seg_start = jnp.pad(segs.seg_start, (0, nt_pad - num_tiles))
+    seg_len = jnp.pad(segs.seg_len, (0, nt_pad - num_tiles))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.SMEM((2, chunk // 8, 128), jnp.float32),
@@ -458,7 +472,7 @@ def bin_and_rasterize(
     )
     kernel = functools.partial(
         _raster_kernel, tiles_x=tiles_x, tile_h=th, tile_w=tw, chunk=chunk,
-        depth_only=depth_only,
+        depth_only=depth_only, tps=tps,
     )
     zt, it = pl.pallas_call(
         kernel,
@@ -466,12 +480,12 @@ def bin_and_rasterize(
         out_shape=[
             # vma: varying mesh axes when called inside shard_map (each
             # device rasterizes its own tile slab).
-            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.float32, vma=frozenset(vma)),
-            jax.ShapeDtypeStruct((num_tiles, sublanes, 128), jnp.int32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((nt_pad, sublanes, 128), jnp.float32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((nt_pad, sublanes, 128), jnp.int32, vma=frozenset(vma)),
         ],
         interpret=_interpret(),
-    )(segs.seg_start, segs.seg_len, row0_arr, rows)
-    return zt, it, segs, pairs
+    )(seg_start, seg_len, row0_arr, rows)
+    return zt[:num_tiles], it[:num_tiles], segs, pairs
 
 
 def rasterize_tiled(
