@@ -153,7 +153,11 @@ def sample_quads_flat(quads, block_grid, ry, rx, rh, rw, u, v) -> Array:
     bh, bw = block_grid
     copy = (ys % 2) * 2 + xs % 2
     q = (copy * bh + ys // 2) * bw + xs // 2
-    win = quads[q].astype(jnp.float32)  # (..., 4C)
+    win = quads[q]  # (..., 4C) in the table's dtype (bf16 for materials)
+    # Barrier before the f32 convert: XLA otherwise converts the full
+    # gathered rows first and relayouts them channel-first in f32 (2x the
+    # bytes of doing both on the bf16 data).
+    win = jax.lax.optimization_barrier(win).astype(jnp.float32)
     top = win[..., :c] + (win[..., c : 2 * c] - win[..., :c]) * fx
     bot = win[..., 2 * c : 3 * c] + (win[..., 3 * c :] - win[..., 2 * c : 3 * c]) * fx
     return top + (bot - top) * fy
@@ -185,7 +189,7 @@ def sample_quads_packed(
     bh, bw = block_grid
     copy = (ys % 2) * 2 + xs % 2
     q = (copy * bh + ys // 2) * bw + xs // 2
-    row = quads_packed[q // 8].astype(jnp.float32)  # (..., 128)
+    row = quads_packed[q // 8]  # (..., 128) in the table's dtype
     k = q % 8
     w16 = 4 * c
     win = row[..., 0:w16]
@@ -193,6 +197,10 @@ def sample_quads_packed(
         win = jnp.where(
             (k == kk)[..., None], row[..., w16 * kk : w16 * (kk + 1)], win
         )
+    # Keep the table dtype (bf16) through the extraction/relayout — the
+    # layout copy then moves half the bytes; texels convert exactly to f32
+    # for the lerp.
+    win = jax.lax.optimization_barrier(win).astype(jnp.float32)
     top = win[..., :c] + (win[..., c : 2 * c] - win[..., :c]) * fx
     bot = win[..., 2 * c : 3 * c] + (win[..., 3 * c :] - win[..., 2 * c : 3 * c]) * fx
     return top + (bot - top) * fy

@@ -37,9 +37,19 @@ def sample_environment(env, direction: Array) -> Array:
     uv = jnp.stack([u, v], axis=-1)
     atlas = getattr(env, "atlas", None)
     if atlas is not None:
+        reg = atlas.regions[0, 0]
+        if atlas.quads_packed is not None:
+            # Same (bf16) table as the fused path so both pipelines produce
+            # identical sky pixels.
+            from arctic_tpu.ops.sampling import sample_quads_packed
+
+            return sample_quads_packed(
+                atlas.quads_packed, atlas.block_grid,
+                reg[0], reg[1], reg[2], reg[3], uv[..., 0], uv[..., 1],
+            )[..., :3]
         from arctic_tpu.ops.sampling import sample_atlas
 
-        return sample_atlas(atlas, atlas.regions[0, 0], uv)[..., :3]
+        return sample_atlas(atlas, reg, uv)[..., :3]
     data = getattr(env, "data", env)
     return sample_bilinear_wrap(data, uv)
 
