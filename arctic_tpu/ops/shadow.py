@@ -35,162 +35,178 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _select_mats() -> jnp.ndarray:
-    """(4, 128, 512) 0/1 selection matrices: S[r, 4w+cc, 16w+4r+cc] = 1.
+    """(8, 128, 1024) 0/1 selection matrices: S[r, 8m+wc, 64m+8r+wc] = 1.
 
-    A (Xb, 128) @ (128, 512) matmul with S[r] scatters each 128-column
-    source block's texels into its 32 windows' 16-lane rows at row-slot r —
-    a lane interleave done on the MXU. Each output lane receives exactly ONE
-    input, so the result is bit-exact even through the multi-pass f32 matmul
-    (a 24-bit mantissa splits exactly into three bf16 passes; x*1 and the
-    non-overlapping adds are exact)."""
+    A (M, 128) @ (128, 1024) matmul with S[r] scatters each 128-column
+    source block's texels into its 16 stride-8 8x8 blocks' 64-lane groups
+    at block-row r — a lane interleave done on the MXU. Each output lane
+    receives exactly ONE input, so the result is bit-exact even through the
+    multi-pass bf16-split matmul (a 24-bit mantissa splits exactly into
+    three bf16 passes; x*1 and the non-overlapping adds are exact).
+
+    Stored f32: Mosaic faults on this kernel when the VMEM operand is held
+    in bf16 and upcast in-kernel (observed as a TPU worker crash); the
+    kernel downcasts in-kernel instead — the 0/1 entries convert exactly.
+    """
     import numpy as np
 
-    s = np.zeros((4, 128, 512), np.float32)
-    for r in range(4):
-        for w in range(32):
-            for cc in range(4):
-                s[r, 4 * w + cc, 16 * w + 4 * r + cc] = 1.0
-    # Stored f32: Mosaic faults on this kernel when the VMEM operand is held
-    # in bf16 and upcast in-kernel for the small-xb f32 matmul path
-    # (observed: TPU worker crash at shadow_size 512 even with the bf16
-    # matmul guarded out). The bf16 path downcasts in-kernel instead — the
-    # 0/1 entries convert exactly.
+    s = np.zeros((8, 128, 1024), np.float32)
+    for r in range(8):
+        for m in range(16):
+            for wc in range(8):
+                s[r, 8 * m + wc, 64 * m + 8 * r + wc] = 1.0
     return jnp.asarray(s)
 
 
-def _lut_kernel(in4_hbm, smat_ref, out_ref, slab, sems, *, xb: int, sq8: int):
-    # One step builds windows for 32 consecutive qy rows (132 shared source
-    # rows) — batching amortizes the per-step DMA/dispatch overhead that
-    # dominated a one-qy-per-step version. The slab DMA is double-buffered
-    # across grid steps (each step's source is independent).
-    sy = pl.program_id(0)
-    sx = pl.program_id(1)
-    q = pl.program_id(2)
-    step = (sy * 4 + sx) * sq8 + q
-    total = 16 * sq8
+def _lut_kernel(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int, jb_count: int):
+    # One step builds 8x8 blocks for 8 consecutive qy rows (40 shared
+    # source rows), BOTH x-parities (blocks at 8k and 8k+4 — each from its
+    # own shifted source view so every block is lane-aligned in its slab).
+    # The two parity accs lane-concatenate into full 128-lane output rows
+    # (Mosaic rejects 64-lane-offset stores). Slab DMAs are
+    # double-buffered across grid steps.
+    q = pl.program_id(0)
+    jb = pl.program_id(1)
+    step = q * jb_count + jb
+    total = pl.num_programs(0) * jb_count
     slot = jax.lax.rem(step, 2)
 
-    def dma(st, sl):
-        # Decode (sy, sx, q) of step ``st`` (grid iterates q fastest).
-        qq = jax.lax.rem(st, sq8)
-        rest = st // sq8
-        sxx = jax.lax.rem(rest, 4)
-        syy = rest // 4
+    def dma(st, sl, sx):
+        jbb = jax.lax.rem(st, jb_count)
+        qq = st // jb_count
         return pltpu.make_async_copy(
-            in4_hbm.at[sxx, pl.ds(128 * qq + syy, 132)], slab.at[sl], sems.at[sl]
+            in2_hbm.at[sx, pl.ds(128 * qq + 32 * jbb, 40)],
+            slab.at[sl, sx],
+            sems.at[sl, sx],
         )
 
     @pl.when(step == 0)
     def _():
-        dma(step, slot).start()
+        dma(step, slot, 0).start()
+        dma(step, slot, 1).start()
 
     @pl.when(step + 1 < total)
     def _():
-        dma(step + 1, 1 - slot).start()
+        dma(step + 1, 1 - slot, 0).start()
+        dma(step + 1, 1 - slot, 1).start()
 
-    dma(step, slot).wait()
+    dma(step, slot, 0).wait()
+    dma(step, slot, 1).wait()
 
-    # Stack g window-rows per matmul so M = g * xb fills the systolic array
-    # (per-j M == xb wastes 3/4 of the MXU rows at xb == 32 and quadruples
-    # the instruction count).
-    g = max(1, min(32, 128 // xb))
-    while 32 % g:
+    # Stack g block-rows per matmul so M = g * xb fills the systolic array.
+    g = max(1, min(8, 128 // xb))
+    while 8 % g:
         g -= 1
-    for j0 in range(0, 32, g):
-        acc = jnp.zeros((g * xb, 512), jnp.float32)
-        for r in range(4):
-            x = jnp.concatenate(
-                [slab[slot, 4 * (j0 + jj) + r] for jj in range(g)], axis=0
-            )  # (g * xb, 128)
-            # Manual 3-way bf16 split of the f32 depths (24-bit mantissa =
-            # 3 x 8 bits, exact; the one-hot smat is exact in bf16 and each
-            # output lane receives exactly one product) — bit-identical to
-            # Precision.HIGHEST at half its MXU passes (3 vs 6).
-            hi = x.astype(jnp.bfloat16)
-            r1 = x - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            smat_bf16 = smat_ref[r].astype(jnp.bfloat16)
-            for part in (hi, mid, lo):
-                acc = acc + jax.lax.dot_general(
-                    part,
-                    smat_bf16,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        # Emit in the consumer's final (rows, 128) gather layout directly
-        # (row = j * 4xb + g128 * xb + b, see window_row_index) — the old
-        # (..., xb, 512) output needed a 1 GB XLA reshape+copy per frame.
+    for j0 in range(0, 8, g):
+        accs = []
+        for sx in range(2):
+            acc = jnp.zeros((g * xb, 1024), jnp.float32)
+            for r in range(8):
+                x = jnp.concatenate(
+                    [slab[slot, sx, 4 * (j0 + jj) + r] for jj in range(g)],
+                    axis=0,
+                )  # (g * xb, 128)
+                # Manual 3-way bf16 split of the f32 depths (24-bit
+                # mantissa = 3 x 8 bits, exact; the one-hot smat is exact
+                # in bf16 and each output lane receives exactly one
+                # product) — bit-identical to Precision.HIGHEST at half
+                # its MXU passes (3 vs 6).
+                hi = x.astype(jnp.bfloat16)
+                r1 = x - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                smat_bf16 = smat_ref[r].astype(jnp.bfloat16)
+                for part in (hi, mid, lo):
+                    acc = acc + jax.lax.dot_general(
+                        part,
+                        smat_bf16,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            accs.append(acc)
+        # Emit in the consumer's final gather layout directly: row within
+        # the frame = qy * 16xb + m * xb + bx; lanes [0:64) = even-parity
+        # block, [64:128) = odd (see window_row_index).
         for jj in range(g):
-            for g128 in range(4):
-                out_ref[0, pl.ds((j0 + jj) * 4 * xb + g128 * xb, xb), :] = acc[
-                    jj * xb : (jj + 1) * xb, 128 * g128 : 128 * (g128 + 1)
-                ]
+            for m in range(16):
+                out_ref[0, pl.ds((j0 + jj) * 16 * xb + m * xb, xb), :] = (
+                    jnp.concatenate(
+                        [
+                            accs[0][jj * xb : (jj + 1) * xb, 64 * m : 64 * m + 64],
+                            accs[1][jj * xb : (jj + 1) * xb, 64 * m : 64 * m + 64],
+                        ],
+                        axis=1,
+                    )
+                )
 
 
-def window_row_index(start_y, start_x, sq8: int, xb: int):
-    """Packed-LUT location of the 4x4 window at padded coords (y, x).
+def window_row_index(start_y, start_x, xb: int):
+    """Packed-LUT location of the window at padded coords (y, x).
 
-    Returns (row, k): the window's 16 lanes live at [16*k, 16*k + 16) of
-    lut[row]. Mirrors the _lut_kernel store order: grid block
-    (cls*sq8 + qy//32), then row-in-block (qy%32)*4*xb + ((qx%32)//8)*xb
-    + qx//32, where cls = (y%4)*4 + x%4, qy = y//4, qx = x//4.
+    The LUT stores stride-4-aligned 8x8 texel blocks (two per 128-lane
+    row); a 4x4 window at ANY start always fits its aligned block
+    (start % 4 <= 3, so 3 + 4 <= 7). Returns (row, k2, yoff, xoff): the
+    window's block is at lanes [64*k2, +64) (laid out wr*8+wc), and the
+    window reads block rows [yoff, yoff+4) x cols [xoff, xoff+4).
+    Mirrors the _lut_kernel store order: row = qy*16xb + (qx//2 % 16)*xb
+    + qx//32 with qy = y//4, qx = x//4.
     """
-    cls = (start_y % 4) * 4 + start_x % 4
     qy = start_y // 4
     qx = start_x // 4
-    row = ((cls * sq8 + qy // 32) * 32 + qy % 32) * 4 * xb + (
-        (qx % 32) // 8
-    ) * xb + qx // 32
-    return row, qx % 8
+    row = qy * 16 * xb + ((qx // 2) % 16) * xb + qx // 32
+    return row, qx % 2, start_y % 4, start_x % 4
 
 
-def build_window_lut(shadow_map: Array) -> tuple[Array, int, int]:
-    """All 4x4 windows of the (wrap-padded) shadow map, 8 per 128-lane row.
+def build_window_lut(shadow_map: Array) -> tuple[Array, int]:
+    """Aligned 8x8 texel blocks of the (wrap-padded) shadow map, 2 per
+    128-lane row.
 
-    Returns (lut (N, 128) f32, sq8, xb): the window starting at padded
-    coords (y, x) lives at lanes [16k, 16k+16) (laid out [r*4+cc]) of row
-    ``row`` with (row, k) = window_row_index(y, x, sq8, xb). Built by a
-    Pallas kernel at streaming bandwidth directly in this gather layout
-    (XLA's transpose-based construction costs ~170 ms/frame, and emitting
-    an (..., xb, 512) shape cost a 1 GB reshape+copy per frame).
+    Returns (lut (N, 128) f32, xb): any 4x4 PCF window fits inside its
+    stride-4-aligned 8x8 block, so ONE 512 B row gather serves every pixel
+    with a quarter of the old per-window-phase table (268 MB vs 1 GB at
+    4000^2 — the old 16-phase-class layout stored each texel 16x). Built
+    by an MXU lane-interleave Pallas kernel directly in the gather layout
+    (XLA's transpose-based construction costs ~170 ms/frame).
     """
     s = shadow_map.shape[0]
     sp = s + 4
     padded = jnp.pad(shadow_map, 2, mode="wrap")
     # 128-column source blocks, rounded up to a multiple of 8: the kernel's
-    # HBM->VMEM slab is (132, xb, 128) and Mosaic faults when the
-    # second-minor dim is not 8-aligned (f32 VMEM tiles are (8, 128); a
-    # dense HBM source DMA'd into a padded VMEM layout crashes the TPU
-    # worker — observed at shadow_size 512 where the tight count is 5).
+    # HBM->VMEM slab second-minor dim must be 8-aligned (f32 VMEM tiles are
+    # (8, 128); a mismatched DMA crashes the TPU worker).
     xb = _round_up(-(-(sp + 3) // 128), 8)
-    sq = s // 4 + 1
-    sq8 = -(-sq // 32)
-    yp = 128 * sq8 + 8
-    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 3 - sp)))
-    # Four x-shifted contiguous views, 128 cols per MXU source block.
-    in4 = jnp.stack(
-        [padded2[:, sx : sx + xb * 128].reshape(yp, xb, 128) for sx in range(4)]
+    qn = s // 4 + 1  # block count per dim (window starts are in [0, s])
+    sq8 = -(-qn // 32)
+    jb_count = 4  # 8 qy rows per grid step
+    yp = 128 * sq8 + 16
+    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 7 - sp)))
+    # Two x-parity views (blocks at 8k / 8k+4), 128 cols per MXU block.
+    in2 = jnp.stack(
+        [padded2[:, 4 * sx : 4 * sx + xb * 128].reshape(yp, xb, 128) for sx in range(2)]
     )
 
     lut = pl.pallas_call(
-        functools.partial(_lut_kernel, xb=xb, sq8=sq8),
-        grid=(4, 4, sq8),
+        functools.partial(_lut_kernel, xb=xb, jb_count=jb_count),
+        grid=(sq8, jb_count),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((4, 128, 512), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 128, 1024), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 32 * 4 * xb, 128), lambda sy, sx, q: ((sy * 4 + sx) * sq8 + q, 0, 0)
+            (1, 8 * 16 * xb, 128), lambda q, jb: (q * jb_count + jb, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((16 * sq8, 32 * 4 * xb, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (sq8 * jb_count, 8 * 16 * xb, 128), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, 132, xb, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, 40, xb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(in4, _select_mats())
-    return lut.reshape(-1, 128), sq8, xb
+    )(in2, _select_mats())
+    return lut.reshape(-1, 128), xb
 
 
 def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
@@ -238,21 +254,36 @@ def pcf_shadow_proj(
     if use_lut is None:
         use_lut = jax.default_backend() == "tpu"
     if use_lut:
-        lutp, sq8, xb = build_window_lut(shadow_map)
-        jrow, k = window_row_index(start_y, start_x, sq8, xb)
+        lutp, xb = build_window_lut(shadow_map)
+        jrow, k2, yoff, xoff = window_row_index(start_y, start_x, xb)
         # Out-of-frustum pixels return 0 without reading the map — point
         # their (discarded) window gathers at one cached row.
         jrow = jnp.where(outside, 0, jrow)
-        row = lutp[jrow]  # (..., 128): 8 packed windows, one row gather
-        window = row[..., 0:16]
-        for kk in range(1, 8):
-            window = jnp.where(
-                (k == kk)[..., None], row[..., 16 * kk : 16 * kk + 16], window
-            )  # flat (..., 16), lanes [r*4 + c]
-        # Fence: without it XLA relayouts the gathered 128-lane rows (1 GB,
-        # a 3.2 ms copy at 1080p) to channel-first before this extraction;
-        # fencing makes the 8x smaller (..., 16) window the layout boundary.
-        window = jax.lax.optimization_barrier(window)
+        rowfull = lutp[jrow]  # (..., 128): two 8x8 blocks, one row gather
+        block = jnp.where(
+            (k2 == 1)[..., None], rowfull[..., 64:128], rowfull[..., 0:64]
+        )  # (..., 64), lanes wr * 8 + wc
+        # Window rows [yoff, yoff + 4): one 4-way select of 32-lane slices.
+        r32 = block[..., 0:32]
+        for yy in range(1, 4):
+            r32 = jnp.where(
+                (yoff == yy)[..., None], block[..., 8 * yy : 8 * yy + 32], r32
+            )
+        # Fence: without it XLA relayouts the gathered 128-lane rows (a
+        # 3.2 ms channel-first copy at 1080p) before extracting; fencing
+        # here makes the 4x smaller (..., 32) slice the layout boundary.
+        r32 = jax.lax.optimization_barrier(r32)
+        # Window cols [xoff, xoff + 4) per row: 4-way selects of 4 lanes.
+        rows = []
+        for r in range(4):
+            wr = r32[..., 8 * r : 8 * r + 4]
+            for xx in range(1, 4):
+                wr = jnp.where(
+                    (xoff == xx)[..., None],
+                    r32[..., 8 * r + xx : 8 * r + xx + 4],
+                    wr,
+                )
+            rows.append(wr)  # each (..., 4)
     else:
         padded = jnp.pad(shadow_map, 2, mode="wrap")
         sp = s + 4
@@ -269,6 +300,7 @@ def pcf_shadow_proj(
         yrow = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
         idx = (((yrow % 4) * 4 + sx_c[..., None]) * yq + yrow // 4) * xq + qx[..., None]
         window = runs[idx].reshape(start_y.shape + (16,))  # (..., 16) flat
+        rows = [window[..., 4 * r : 4 * r + 4] for r in range(4)]  # (..., 4)
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)
@@ -277,7 +309,6 @@ def pcf_shadow_proj(
     # indices can only be 0..2 while |offset| <= 0.8 texels + bilinear),
     # keeping the lerp arithmetic bit-identical to SampleLevel and avoiding
     # data-dependent gathers entirely.
-    rows = [window[..., 4 * r : 4 * r + 4] for r in range(4)]  # each (..., 4)
 
     def sel3(i, a, b, c):
         return jnp.where((i == 0)[..., None], a, jnp.where((i == 1)[..., None], b, c))

@@ -21,13 +21,14 @@ def test_pcf_paths_bit_identical(rng):
 def test_window_lut_exact(rng):
     s = 64
     smap = rng.uniform(0.1, 0.9, (s, s)).astype(np.float32)
-    lutp, sq8, xb = shadow.build_window_lut(jnp.asarray(smap))
+    lutp, xb = shadow.build_window_lut(jnp.asarray(smap))
     lut = np.asarray(lutp)
     padded = np.pad(smap, 2, mode="wrap")
     # Check a spread of window origins, including borders and odd phases.
     for y in [0, 1, 2, 3, 5, 17, s - 1, s]:
         for x in [0, 1, 2, 3, 8, 33, s - 1, s]:
-            row, k = shadow.window_row_index(y, x, sq8, xb)
-            got = lut[row, 16 * k : 16 * k + 16].reshape(4, 4)
+            row, k2, yoff, xoff = shadow.window_row_index(y, x, xb)
+            block = lut[row, 64 * k2 : 64 * k2 + 64].reshape(8, 8)
+            got = block[yoff : yoff + 4, xoff : xoff + 4]
             want = padded[y : y + 4, x : x + 4]
             np.testing.assert_array_equal(got, want, err_msg=f"window ({y},{x})")

@@ -39,7 +39,7 @@ def main():
     y = jax.random.uniform(ky, (T, SPX), jnp.float32, -1.0, 1.0)
     z = jax.random.uniform(kz, (T, SPX), jnp.float32, 0.0, 1.0)
 
-    t, (lutp, sq, xb) = timeit(jax.jit(shadow_ops.build_window_lut), smap)
+    t, (lutp, xb) = timeit(jax.jit(shadow_ops.build_window_lut), smap)
     print(f"lut build:        {t*1e3:8.2f} ms  lut={lutp.shape}", flush=True)
 
     @jax.jit
@@ -53,7 +53,7 @@ def main():
         wy = jnp.floor(ty).astype(jnp.int32) - 1
         start_y = jnp.clip(wy + 2, 0, s)
         start_x = jnp.clip(wx + 2, 0, s)
-        jrow, _k = shadow_ops.window_row_index(start_y, start_x, sq, xb)
+        jrow, _k2, _yo, _xo = shadow_ops.window_row_index(start_y, start_x, xb)
         return lutp[jrow]
 
     t, _ = timeit(gather_only, lutp, x, y)
