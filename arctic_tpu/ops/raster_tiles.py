@@ -64,10 +64,15 @@ def _raster_kernel(
     # ``tps`` tiles per grid step: the per-step sequencing/writeback overhead
     # (~1 us) would otherwise dominate kernels whose tiles carry few pairs.
     # The seg arrays are padded to the grid (pad tiles have n == 0).
+    # Segment starts are UNALIGNED offsets straight into the sorted pair
+    # list: the DMA fetches from the floored-8 row and the triangle loop
+    # skips the leading o = start % 8 rows — this removed align_segments'
+    # per-pass scatter + 344k-row re-layout gather (~5 ms/frame).
     for i in range(tps):
         t = step * tps + i
-        start = seg_start_ref[t]  # 8-aligned row offset into the triangle table
+        start = seg_start_ref[t]  # row offset into the sorted triangle list
         n = seg_len_ref[t]
+        o = jax.lax.rem(start, 8)
 
         tx = t % tiles_x
         ty = row0_ref[0] + t // tiles_x  # global tile row (sharded slices)
@@ -84,10 +89,10 @@ def _raster_kernel(
                 sems.at[slot],
             )
 
-        num_chunks = pl.cdiv(n, chunk)
+        num_chunks = pl.cdiv(n + o, chunk)
 
         @pl.when(n > 0)
-        def _(i=i, n=n, num_chunks=num_chunks, chunk_dma=chunk_dma, px=px, py=py):
+        def _(i=i, n=n, o=o, num_chunks=num_chunks, chunk_dma=chunk_dma, px=px, py=py):
             chunk_dma(0, 0).start()
 
             def chunk_body(c, _):
@@ -98,7 +103,10 @@ def _raster_kernel(
                     chunk_dma(c + 1, 1 - slot).start()
 
                 chunk_dma(c, slot).wait()
-                m = jnp.minimum(n - c * chunk, chunk)
+                # Segment rows live at local offsets [o, o + n) across the
+                # chunk sequence; this chunk covers locals [c*chunk, +chunk).
+                lo = jnp.maximum(o, c * chunk) - c * chunk
+                hi = jnp.minimum(o + n, (c + 1) * chunk) - c * chunk
 
                 def tri_body(k, _):
                     r = lambda j: rows_smem[slot, k // 8, (k % 8) * 16 + j]
@@ -122,7 +130,7 @@ def _raster_kernel(
                         iref[i] = jnp.where(ok, sid, iref[i])
                     return 0
 
-                jax.lax.fori_loop(0, m, tri_body, 0)
+                jax.lax.fori_loop(lo, hi, tri_body, 0)
                 return 0
 
             jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -237,6 +245,10 @@ def _select_kernel(
     n = seg_len_ref[t]
     groups = tile_h * tile_w // 128
     ppr = 128 // tile_w  # pixel rows per lane group
+    # Unaligned segment start: DMA from the floored-8 row and mask the
+    # leading o rows (they belong to the previous tile's segment).
+    o = jax.lax.rem(start, 8)
+    base = start - o
 
     tx = t % tiles_x
     ty = row0_ref[0] + t // tiles_x
@@ -245,12 +257,14 @@ def _select_kernel(
     py_base = (ty * tile_h + lane // tile_w).astype(jnp.float32) + 0.5
 
     accs = [jnp.zeros((128, 128), jnp.float32) for _ in range(groups)]
-    num_chunks = pl.cdiv(n, chunk)
+    # Empty tiles must run ZERO chunks (cdiv(o, chunk) would be 1 for
+    # o > 0 and the body would wait on a DMA the n > 0 guard never starts).
+    num_chunks = jnp.where(n > 0, pl.cdiv(n + o, chunk), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     def chunk_dma(c, slot):
         return pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(start + c * chunk, chunk)],
+            rows_hbm.at[pl.ds(base + c * chunk, chunk)],
             rows_vmem.at[slot],
             sems.at[slot],
         )
@@ -264,10 +278,14 @@ def _select_kernel(
 
         chunk_dma(c, slot).wait()
         rows = rows_vmem[slot]
-        # Mask rows beyond the segment (alignment padding / the next tile's
-        # rows): their slot ids must never match a pixel.
-        m = n - c * chunk
-        sid = jnp.where(k_iota < m, rows[:, 9:10], -2.0)
+        # Mask rows outside the segment (the previous / next tile's rows):
+        # their slot ids must never match a pixel. Valid chunk-local rows
+        # are [o - c*chunk, o + n - c*chunk).
+        sid = jnp.where(
+            (k_iota >= o - c * chunk) & (k_iota < o + n - c * chunk),
+            rows[:, 9:10],
+            -2.0,
+        )
         # Manual 3-way bf16 split of the f32 rows (exact: 24-bit mantissa =
         # 3 x 8; the one-hot is exact in bf16 and each output lane receives
         # exactly one product) — bit-identical to Precision.HIGHEST at half
@@ -325,7 +343,7 @@ def _select_kernel(
 
 def select_interp_tiles(
     shade_rows: Array,
-    segs: binning.AlignedSegments,
+    segs,
     it_tiles: Array,
     tiles_x: int,
     tile_rows: int,
@@ -338,14 +356,16 @@ def select_interp_tiles(
     """Resolve the per-pixel G-buffer from tile ibufs + binned lists.
 
     shade_rows: (P_pad, 128) from pipeline.build_shade_rows.
+    segs: (sorted_slot, seg_start, seg_len) from bin_and_rasterize.
     it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
     Returns (num_tiles, GBUF_LANES, S) f32, attr-major (pixel dim minor).
     """
     assert 128 % tile_w == 0, "tile_w must divide a lane row"
+    sorted_slot, seg_start, seg_len = segs
     num_tiles = tiles_x * tile_rows
     sublanes = tile_h * tile_w // 128
-    rows = shade_rows[segs.slot]  # (cap_aligned, 128) streaming-friendly order
-    rows = jnp.pad(rows, ((0, chunk), (0, 0)))  # DMA tail guard
+    rows = shade_rows[sorted_slot]  # (pair_cap, 128) streaming order
+    rows = jnp.pad(rows, ((0, chunk + 8), (0, 0)))  # DMA tail + floor slack
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -373,7 +393,7 @@ def select_interp_tiles(
             (num_tiles, GBUF_LANES, sublanes * 128), jnp.float32, vma=frozenset(vma)
         ),
         interpret=_interpret(),
-    )(segs.seg_start, segs.seg_len, row0_arr, rows, it_tiles)
+    )(seg_start, seg_len, row0_arr, rows, it_tiles)
 
 
 def raster_gbuffer(
@@ -422,8 +442,8 @@ def bin_and_rasterize(
     kind: str = "cam",
     depth_only: bool = False,
 ):
-    """Bin + tile-raster; returns tile-major (zt, it) plus the aligned
-    segment lists (reused by the fused shading kernel) and the pair stats.
+    """Bin + tile-raster; returns tile-major (zt, it) plus the segment
+    lists (reused by the fused shading kernel) and the pair stats.
     With depth_only the ibuf stays cleared (-1) — the shadow pass discards
     it, and skipping the slot-id select trims the per-triangle VPU work."""
     assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
@@ -442,11 +462,13 @@ def bin_and_rasterize(
             pair_cap,
         )
     table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
-    segs = binning.align_segments(pairs, num_tiles, dead_slot=table.shape[0] - 1)
-    rows = table[segs.slot]  # (cap_aligned, 16)
-    # Tail guard (DMA may read up to `chunk` rows past a segment end), then
-    # pack 8 logical rows per 128-lane row for full-lane TPU DMA slices.
-    rows = jnp.pad(rows, ((0, chunk), (0, 0))).reshape(-1, 128)
+    # Segments index the sorted pair list DIRECTLY (unaligned starts; the
+    # kernels DMA from the floored-8 row and mask leading rows) — the old
+    # align_segments re-layout cost a scatter + a 344k-row gather per pass.
+    rows = table[pairs.sorted_slot]  # (pair_cap, 16)
+    # Tail guard (DMA may read up to `chunk` + 8 rows past a segment end),
+    # then pack 8 logical rows per 128-lane row for full-lane TPU DMA.
+    rows = jnp.pad(rows, ((0, chunk + 8), (0, 0))).reshape(-1, 128)
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     # Batch tiles per grid step to amortize per-step sequencing overhead
@@ -454,8 +476,8 @@ def bin_and_rasterize(
     tps = config.tiles_per_step
     steps = -(-num_tiles // tps)
     nt_pad = steps * tps
-    seg_start = jnp.pad(segs.seg_start, (0, nt_pad - num_tiles))
-    seg_len = jnp.pad(segs.seg_len, (0, nt_pad - num_tiles))
+    seg_start = jnp.pad(pairs.tile_start[:-1], (0, nt_pad - num_tiles))
+    seg_len = jnp.pad(jnp.diff(pairs.tile_start), (0, nt_pad - num_tiles))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -485,6 +507,7 @@ def bin_and_rasterize(
         ],
         interpret=_interpret(),
     )(seg_start, seg_len, row0_arr, rows)
+    segs = (pairs.sorted_slot, seg_start, seg_len)
     return zt[:num_tiles], it[:num_tiles], segs, pairs
 
 
