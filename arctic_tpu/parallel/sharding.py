@@ -8,7 +8,10 @@ is the TPU-native scaling story that replaces nothing-in-the-reference:
   (the binning sort shrinks per device: bbox/row-window rejection happens
   before pair expansion);
 - the shadow map is rendered slab-parallel too, then ``all_gather``-ed over
-  ICI because PCF sampling needs the whole map on every device;
+  ICI because PCF sampling needs the whole map on every device (each device
+  then builds its own PCF window LUT from the gathered map — redundant
+  energy but fully parallel, so no wall-clock cost; gathering the 4x-larger
+  LUT instead would trade ICI bytes for that energy);
 - shading/tonemap stay slab-local, and the final u8 frame comes out
   row-sharded (one device->host copy per slab, or leave it on-device).
 
