@@ -124,7 +124,8 @@ async function loop(){
   hist_ms.push(st.ms||ms);hist_fps.push(1000/(st.ms||ms));
   if(hist_ms.length>1000){hist_ms.shift();hist_fps.shift()}
   document.getElementById('stats').textContent=
-    (st.ms||ms).toFixed(1)+' ms  '+(1000/(st.ms||ms)).toFixed(1)+' fps';
+    (st.ms||ms).toFixed(1)+' ms  '+(1000/(st.ms||ms)).toFixed(1)+' fps'
+    +(st.overflow?'  OVERFLOW: '+st.overflow:'');
   drawPlot();
   if(st.cam&&document.activeElement.tagName!=='INPUT'){
     ['cpx','cpy','cpz'].forEach((id,i)=>document.getElementById(id).value=st.cam.pos[i].toFixed(2));
@@ -235,12 +236,26 @@ class ViewerState:
                 tm_method=jnp.int32(int(f("tm", 0))),
             )
             self.stats.tick()
-            img = np.asarray(self.render(self.buffers, self.params, self.settings))
+            img, rstats = self.render(self.buffers, self.params, self.settings)
+            img = np.asarray(img)
             self.stats.tick()
+            # Camera/sun/lights are runtime-mutable, so a viewpoint can
+            # exceed the autotuned pair caps; that silently drops fragments.
+            # Keep it LOUD: surface the overflow in the HUD (ADVICE r2).
+            overflow = []
+            for pass_name in ("cam", "shadow"):
+                pairs = int(rstats[f"{pass_name}_pairs"])
+                cap = int(rstats[f"{pass_name}_pair_cap"])
+                if pairs > cap:
+                    overflow.append(f"{pass_name} {pairs}/{cap}")
+            if overflow:
+                print(f"viewer: PAIR BUFFER OVERFLOW ({', '.join(overflow)}) — "
+                      "frame incomplete; restart with a larger margin")
             ms = self.stats.history[-1] * 1e3 if self.stats.history else 0.0
             stats = {
                 "ms": round(ms, 2),
                 "fps": round(1000.0 / ms, 2) if ms else 0.0,
+                "overflow": ", ".join(overflow),
                 "cam": {
                     "pos": [float(x) for x in np.asarray(self.params.camera.eye)],
                     "rot": [float(x) for x in np.asarray(self.params.camera.rotation)],
@@ -349,7 +364,7 @@ def main(argv=None):
         params,
         default_settings(),
         config,
-        pipeline.make_renderer(config),
+        pipeline.make_renderer_stats(config),
     )
     serve(state, args.port)
 

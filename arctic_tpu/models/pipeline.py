@@ -74,6 +74,9 @@ def world_corners(geom: Geometry):
         m = geom.object_trs[geom.tri_obj]  # (T, 4, 4) — cold path
         trs = [m[:, i, j] for i in range(4) for j in range(4)]
     cp = geom.tri_corner_pos  # (9, T) rows c * 3 + i
+    if cp is None:  # hand-built Geometry: gather corners from vertices (cold)
+        corners = geom.positions[geom.indices]  # (T, 3, 3)
+        cp = [corners[:, c, i] for c in range(3) for i in range(3)]
     out = []
     for c in range(3):
         px, py, pz = cp[3 * c], cp[3 * c + 1], cp[3 * c + 2]

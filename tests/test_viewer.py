@@ -25,7 +25,7 @@ def test_viewer_serves_frames_and_moves_camera():
         default_scene_params(aspect=W / H),
         default_settings(),
         config,
-        pipeline.make_renderer(config),
+        pipeline.make_renderer_stats(config),
     )
     from http.server import ThreadingHTTPServer
 
@@ -72,7 +72,7 @@ def test_viewer_lights_sun_and_stats():
         default_scene_params(aspect=W / H),
         default_settings(),
         config,
-        pipeline.make_renderer(config),
+        pipeline.make_renderer_stats(config),
     )
     from http.server import ThreadingHTTPServer
 

@@ -49,7 +49,9 @@ def main():
             pipeline.corners_clip(wc, params.camera.proj_view()), tri_valid
         )
         setup = raster.setup_screen_triangles(clipped, W, H, cull="back")
-        rows = pipeline.build_shade_rows(setup, geom, sun_pv, wc=wc, lsp=sun_clip[..., :3])
+        rows = pipeline.build_shade_rows(
+            setup, geom, sun_pv, wc=wc, lsp=tuple(c[:3] for c in sun_clip)
+        )
         ibuf_tiles, gbuf, _ = raster_tiles.raster_gbuffer(setup, rows, H, W, config)
         return ibuf_tiles, gbuf
 
