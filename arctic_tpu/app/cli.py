@@ -139,10 +139,12 @@ def cmd_render(args) -> int:
         exposure=jnp.float32(args.exposure),
     )
 
-    if not (args.raytrace or args.devices or config.force_bruteforce):
+    if not (args.raytrace or config.force_bruteforce):
         # Size the pair buffers to the scene (binning costs scale with
         # capacity, not pairs; one cheap count-only compile), and unroll the
         # point-light loop for the known light count (one fused BRDF pass).
+        # The sharded path shares the tuned caps: per-slab pair counts are
+        # bounded by the full-frame count, so they are safe (over)estimates.
         config = pipeline.autotune_pair_caps(buffers, params, config)
         config = dataclasses.replace(
             config, static_point_lights=int(params.point_lights.count)
@@ -151,6 +153,7 @@ def cmd_render(args) -> int:
             "pair caps: cam=%d shadow=%d", config.pair_cap_cam, config.pair_cap_shadow
         )
 
+    render_stats = None
     if args.raytrace:
         from arctic_tpu.models import raytrace
 
@@ -161,8 +164,10 @@ def cmd_render(args) -> int:
 
         mesh = sharding.make_mesh(args.devices)
         render = sharding.make_sharded_renderer(config, mesh)
+        render_stats = sharding.make_sharded_renderer_stats(config, mesh)
     else:
         render = pipeline.make_renderer(config)
+        render_stats = pipeline.make_renderer_stats(config)
 
     from arctic_tpu.utils.errors import render_guard
 
@@ -174,9 +179,11 @@ def cmd_render(args) -> int:
 
     # First frame through the stats renderer: compiles the pipeline and
     # verifies the tile-pair buffers didn't overflow (dropped fragments).
-    if not (args.raytrace or args.devices):
+    # The --devices path checks the max over devices (any slab overflowing
+    # means the frame is incomplete).
+    if render_stats is not None:
         with render_guard(guard_desc):
-            _, rstats = pipeline.make_renderer_stats(config)(buffers, params, settings)
+            _, rstats = render_stats(buffers, params, settings)
             rstats = {k: int(v) for k, v in rstats.items()}
         for p_name in ("cam", "shadow"):
             if rstats[f"{p_name}_pairs"] > rstats[f"{p_name}_pair_cap"]:

@@ -141,30 +141,52 @@ def bin_triangles(
         setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0
     )
 
-    # Expansion without per-pair binary search: pair -> slot is a run-length
-    # decode. Scatter a 1 at every segment end and prefix-sum (equivalent to
-    # searchsorted(cum, pos, 'right') but O(N) vectorized instead of 3M
-    # binary searches — the profiled hot spot), and recover the segment base
-    # with a scatter-max + cummax of the segment starts.
+    # Expansion without per-pair binary search: pair -> slot is a TWO-LEVEL
+    # run-length decode. Scatters are latency-bound at ~9 ns/UPDATE, so the
+    # round-2 per-slot scatter paid 9 ns x slot CAPACITY (~4.4 ms per pass
+    # at 503k slots). Level 1 scatters only per GROUP of 16 slots (~31k
+    # updates, ~0.3 ms): group ends -> cummax recovers each pair's group
+    # and the group's first pair position. Level 2 resolves the slot within
+    # the group from a packed per-group cumsum row: 8 groups' 16 local
+    # inclusive cumsums share one dense 128-lane row (small-minor (G, 16)
+    # tables tile-pad 8x and gather at ~17 ns/row — packed rows gather at
+    # cache speed with heavy consecutive-pair repeats), and two masked lane
+    # reduces give slot = #{local cums <= off} and the slot's local start.
+    G = 16
+    cap = setup.capacity
     cum = jnp.cumsum(counts, dtype=jnp.int32)  # inclusive
     total = cum[-1]
     pos = jnp.arange(pair_capacity, dtype=jnp.int32)
+    cap_pad = (cap + 8 * G - 1) // (8 * G) * (8 * G)
+    if cap_pad != cap:  # pad with empty slots (cum stays flat)
+        cum = jnp.concatenate(
+            [cum, jnp.broadcast_to(total, (cap_pad - cap,))]
+        )
+    n_groups = cap_pad // G
 
-    # ONE scatter serves both quantities (scatters run latency-bound at
-    # ~9 ns/update, ~4.4 ms per 500k-slot pass — the old form paid twice):
-    # scatter each slot id at its segment END; then
-    #   slot[pos] = 1 + max{i : cum[i] <= pos}           (cummax of marks)
-    #   base[pos] = max end-position <= pos = cum_excl[slot]   (the segment
-    #     start IS the previous segment's end, so the mark positions
-    #     themselves recover it — no second scatter, no gather).
+    cum_g = cum[G - 1 :: G]  # (n_groups,) inclusive pair count per group end
     m0 = jnp.full(pair_capacity + 1, -1, jnp.int32)
-    m0 = m0.at[jnp.clip(cum, 0, pair_capacity)].max(
-        jnp.arange(setup.capacity, dtype=jnp.int32)
+    m0 = m0.at[jnp.clip(cum_g, 0, pair_capacity)].max(
+        jnp.arange(n_groups, dtype=jnp.int32)
     )
     mm = m0[:pair_capacity]
-    slot = jax.lax.cummax(mm) + 1
-    base = jax.lax.cummax(jnp.where(mm >= 0, pos, 0))
-    k = pos - base
+    group = jax.lax.cummax(mm) + 1  # group containing pair `pos`
+    gbase = jax.lax.cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
+    off = pos - gbase  # pair offset within the group
+
+    # Packed local-cumsum table: loc[g, j] = cum[g*G + j] - group_start(g),
+    # 8 groups per 128-lane row.
+    gstart = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_g[:-1]])
+    loc = (cum.reshape(n_groups, G) - gstart[:, None]).reshape(-1, 8 * G)
+    group_c = jnp.minimum(group, n_groups - 1)
+    row = loc[group_c // 8]  # (pair_cap, 128) — consecutive pairs repeat rows
+    lane_g = jnp.arange(8 * G, dtype=jnp.int32)[None, :] // G
+    lane_valid = lane_g == (group_c % 8)[:, None]
+    le = lane_valid & (row <= off[:, None])
+    slot_local = jnp.sum(le, axis=1, dtype=jnp.int32)
+    start_local = jnp.max(jnp.where(le, row, 0), axis=1)
+    slot = group_c * G + slot_local
+    k = off - start_local
 
     # One gather per pair: bbox data packed into a single int32
     # (tx0: 9 bits, ty0: 13 bits, w: 9 bits — targets up to 16k x 256k px).

@@ -80,3 +80,43 @@ def test_binning_overflow_drops_tail_only(rng):
     setup, _ = make_setup(tris, W, H, cull="none")
     zt, it = raster_tiles.rasterize_tiled(setup, H, W, config)
     assert np.isfinite(np.asarray(zt)).all()
+
+
+def test_binning_rld_matches_numpy_reference(rng=None):
+    """Two-level RLD expansion == per-pair numpy expansion, stable order."""
+    rng = np.random.default_rng(7)
+    for T, tiles_x, tiles_y in [(512, 4, 2), (384, 7, 5), (130, 3, 3)]:
+        class S:
+            pass
+
+        s = S()
+        x0 = rng.uniform(0, 200, T).astype(np.float32)
+        y0 = rng.uniform(0, 120, T).astype(np.float32)
+        w = rng.uniform(0, 90, T).astype(np.float32)
+        h = rng.uniform(0, 70, T).astype(np.float32)
+        s.bbox = (
+            jnp.asarray(x0), jnp.asarray(y0),
+            jnp.asarray(x0 + w), jnp.asarray(y0 + h),
+        )
+        s.valid = jnp.asarray(rng.random(T) < 0.6)
+        s.capacity = T
+        pairs = binning.bin_triangles(s, tiles_x, tiles_y, 32, 32, 8192)
+
+        counts, tx0, ty0, ww = binning._tile_footprints(s, tiles_x, tiles_y, 32, 32)
+        counts = np.asarray(counts)
+        tx0n, ty0n, wn = np.asarray(tx0), np.asarray(ty0), np.asarray(ww)
+        ref = []
+        for i in range(T):
+            for k in range(counts[i]):
+                tile = (ty0n[i] + k // wn[i]) * tiles_x + (tx0n[i] + k % wn[i])
+                ref.append((tile, i))
+        ref.sort(key=lambda p: p[0])  # python sort is stable
+        n = len(ref)
+        assert int(pairs.total_pairs) == n
+        np.testing.assert_array_equal(
+            np.asarray(pairs.sorted_slot)[:n], np.array([p[1] for p in ref])
+        )
+        tiles_ref = np.array([p[0] for p in ref])
+        starts = np.asarray(pairs.tile_start)
+        for t in range(tiles_x * tiles_y + 1):
+            assert starts[t] == np.searchsorted(tiles_ref, t, "left")
