@@ -233,6 +233,11 @@ def build_shade_rows(
       [40:57)  corner-1 attrs, [64:81) corner-2 attrs
       [88:111) material row: atlas regions 12, mr_consts 4, nm_consts 3,
                combined-atlas region 4
+      [112:125) RAW raster planes: A,B,C per edge (9), z plane (3), slot id
+               — pack_raster_rows' layout at lane base 112, so the camera
+               raster kernel streams THIS table too (no separate 16-lane
+               row table/gather for the camera pass; the scaled [0:9)
+               lanes still feed the select kernel's barycentrics)
     Light-space positions store xyz only: the sun is orthographic
     (scene.cpp:61-70) so clip w == 1 and no perspective divide is needed.
     """
@@ -280,7 +285,11 @@ def build_shade_rows(
         comps += [z] * 7
     mr = geom.tri_matrow  # (23, T)
     comps += [dup(mr[j]) for j in range(23)]
-    comps += [z] * 17
+    comps += [z]  # [111]
+    comps += [c for e in setup.edges for c in e]  # [112:121) raw A,B,C x3
+    comps += list(setup.zplane)  # [121:124)
+    comps.append(jnp.arange(p, dtype=jnp.float32))  # [124] raster slot id
+    comps += [z] * 3
     assert len(comps) == 128
     rows = jnp.stack(comps, axis=1)
     # Match pack_raster_rows' padded row count so align_segments' dead-slot
@@ -449,7 +458,86 @@ def shade_gbuffer(
     def ch3(flat, base):  # (..., C) flat tap -> (T, 3, S)
         return jnp.stack([flat[..., base + i] for i in range(3)], axis=1)
 
-    if atlas.combined_slots is not None:
+    # Per-pixel sky rays (used by the merged tap below and/or the final
+    # background composite). Covered pixels don't read the sky — give them
+    # one constant direction so their (discarded) taps hit a single row.
+    t_tiles, s_pix = covered.shape
+    tw, th = config.tile_w, config.tile_h
+    t_idx = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
+    p_idx = jnp.arange(s_pix, dtype=jnp.int32)[None, :]
+    px = ((t_idx % tiles_x) * tw + p_idx % tw).astype(jnp.float32) + 0.5
+    py = ((tile_row0 + t_idx // tiles_x) * th + p_idx // tw).astype(jnp.float32) + 0.5
+    dx, dy, dz = sky.camera_ray_dirs_cf(
+        params.camera, px, py, config.width, config.height
+    )
+    dx = jnp.where(covered, 1.0, dx)
+    dy = jnp.where(covered, 0.0, dy)
+    dz = jnp.where(covered, 0.0, dz)
+
+    env_atlas = getattr(buffers.environment, "atlas", None)
+    background = None
+    merged_env = (
+        atlas.combined_slots is not None
+        and env_atlas is not None
+        and env_atlas.quads_packed is not None
+        and atlas.combined_quads.dtype == env_atlas.quads_packed.dtype
+    )
+    if merged_env:
+        # ONE gather serves texture AND sky: a covered pixel needs its
+        # material quad, an uncovered one its environment quad — never
+        # both, so the two 2M-row gathers collapse into one against a
+        # concatenated [packed tex quads; packed env quads] table
+        # (gathers are row-count-bound; round-3 profile: 4.9 + 5.5 ms).
+        from arctic_tpu.ops.sampling import lerp_quad, quad_index
+
+        u_sky, v_sky = sky.env_uv_cf(dx, dy, dz)
+        tq, tfx, tfy = quad_index(
+            atlas.combined_block_grid,
+            reg_lane(43, 0.0), reg_lane(44, 0.0), reg_lane(45, 1.0),
+            reg_lane(46, 1.0), u_uv, v_uv,
+        )
+        ereg = env_atlas.regions[0, 0]
+        eq, efx, efy = quad_index(
+            env_atlas.block_grid, ereg[0], ereg[1], ereg[2], ereg[3],
+            u_sky, v_sky,
+        )
+        cq = atlas.combined_quads  # (Nq, C4)
+        c4 = cq.shape[-1]
+        per = 128 // c4  # tex quads per 128-lane row
+        nq_pad = -(-cq.shape[0] // per) * per
+        tex_rows = jnp.pad(cq, ((0, nq_pad - cq.shape[0]), (0, 0))).reshape(
+            nq_pad // per, per * c4
+        )
+        if per * c4 < 128:
+            tex_rows = jnp.pad(tex_rows, ((0, 0), (0, 128 - per * c4)))
+        ntex = tex_rows.shape[0]
+        merged = jnp.concatenate([tex_rows, env_atlas.quads_packed], axis=0)
+        idx = jnp.where(covered, tq // per, ntex + eq // 8)
+        row = merged[idx]  # (T, S, 128) — the one gather
+        twin = row[..., 0:c4]
+        for kk in range(1, per):
+            twin = jnp.where(
+                (tq % per == kk)[..., None], row[..., c4 * kk : c4 * (kk + 1)], twin
+            )
+        twin = jax.lax.optimization_barrier(twin).astype(jnp.float32)
+        tex = lerp_quad(twin, tfx, tfy)  # (T, S, C) — same math as the
+        # separate samplers, so taps stay bit-identical (tests).
+        ewin = row[..., 0:16]
+        for kk in range(1, 8):
+            ewin = jnp.where(
+                (eq % 8 == kk)[..., None], row[..., 16 * kk : 16 * (kk + 1)], ewin
+            )
+        ewin = jax.lax.optimization_barrier(ewin).astype(jnp.float32)
+        esample = lerp_quad(ewin, efx, efy)  # (T, S, 4)
+        background = jnp.stack(
+            [esample[..., 0], esample[..., 1], esample[..., 2]], axis=1
+        )
+        slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
+        base_color = ch3(tex, slot_base[0])
+        nm = ch3(tex, slot_base[1]) if 1 in slot_base else None
+        mr_g = tex[..., slot_base[2] + 1] if 2 in slot_base else None
+        mr_b = tex[..., slot_base[2] + 2] if 2 in slot_base else None
+    elif atlas.combined_slots is not None:
         # All of this material's texture slots in ONE row gather.
         tex = sample_quads_flat(
             atlas.combined_quads, atlas.combined_block_grid,
@@ -535,24 +623,12 @@ def shade_gbuffer(
             lo = light_body(i, lo)
     color = lo + params.ambient * base_color
 
-    # Skybox where no geometry wrote depth, via per-pixel tile coords.
-    t_tiles, s_pix = covered.shape
-    tw, th = config.tile_w, config.tile_h
-    t_idx = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
-    p_idx = jnp.arange(s_pix, dtype=jnp.int32)[None, :]
-    px = ((t_idx % tiles_x) * tw + p_idx % tw).astype(jnp.float32) + 0.5
-    py = ((tile_row0 + t_idx // tiles_x) * th + p_idx // tw).astype(jnp.float32) + 0.5
-    dx, dy, dz = sky.camera_ray_dirs_cf(
-        params.camera, px, py, config.width, config.height
-    )
-    # Covered pixels don't read the sky — give them one constant direction
-    # so their (discarded) env taps hit a single cached row.
-    dx = jnp.where(covered, 1.0, dx)
-    dy = jnp.where(covered, 0.0, dy)
-    dz = jnp.where(covered, 0.0, dz)
-    background = jnp.stack(
-        sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=1
-    )
+    # Skybox where no geometry wrote depth (already sampled by the merged
+    # tap above when available; separate gather otherwise).
+    if background is None:
+        background = jnp.stack(
+            sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=1
+        )
     return jnp.where(covered[:, None, :], color, background)
 
 

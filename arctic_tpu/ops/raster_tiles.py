@@ -53,13 +53,13 @@ def _raster_kernel(
     chunk: int,
     depth_only: bool = False,
     tps: int = 1,
+    full_rows: bool = False,
 ):
     step = pl.program_id(0)
     sublanes = tile_h * tile_w // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 0)
     p = sub * 128 + lane  # row-major pixel index within the tile
-    groups = chunk // 8  # table rows are packed 8 logical rows per 128 lanes
 
     # ``tps`` tiles per grid step: the per-step sequencing/writeback overhead
     # (~1 us) would otherwise dominate kernels whose tiles carry few pairs.
@@ -68,6 +68,9 @@ def _raster_kernel(
     # list: the DMA fetches from the floored-8 row and the triangle loop
     # skips the leading o = start % 8 rows — this removed align_segments'
     # per-pass scatter + 344k-row re-layout gather (~5 ms/frame).
+    # With full_rows the table is the 128-lane shade-row table itself
+    # (raster planes at lanes [112:125), see pipeline.build_shade_rows) —
+    # the camera pass then needs no second 16-lane table or gather.
     for i in range(tps):
         t = step * tps + i
         start = seg_start_ref[t]  # row offset into the sorted triangle list
@@ -82,12 +85,12 @@ def _raster_kernel(
         zref[i] = jnp.ones((sublanes, 128), jnp.float32)
         iref[i] = jnp.full((sublanes, 128), -1, jnp.int32)
 
-        def chunk_dma(c, slot, start=start):
-            return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(start // 8 + c * groups, groups)],
-                rows_smem.at[slot],
-                sems.at[slot],
-            )
+        def chunk_dma(c, slot, start=start, o=o):
+            if full_rows:
+                src = rows_hbm.at[pl.ds(start - o + c * chunk, chunk)]
+            else:
+                src = rows_hbm.at[pl.ds(start // 8 + c * (chunk // 8), chunk // 8)]
+            return pltpu.make_async_copy(src, rows_smem.at[slot], sems.at[slot])
 
         num_chunks = pl.cdiv(n + o, chunk)
 
@@ -108,29 +111,45 @@ def _raster_kernel(
                 lo = jnp.maximum(o, c * chunk) - c * chunk
                 hi = jnp.minimum(o + n, (c + 1) * chunk) - c * chunk
 
-                def tri_body(k, _):
-                    r = lambda j: rows_smem[slot, k // 8, (k % 8) * 16 + j]
-                    e0 = r(0) * px + r(1) * py + r(2)
-                    e1 = r(3) * px + r(4) * py + r(5)
-                    e2 = r(6) * px + r(7) * py + r(8)
-                    z = r(9) * px + r(10) * py + r(11)
-                    zbuf = zref[i]
-                    ok = (
-                        (e0 >= 0.0)
-                        & (e1 >= 0.0)
-                        & (e2 >= 0.0)
-                        & (z >= 0.0)
-                        & (z <= 1.0)
-                        & (z < zbuf)
-                    )
-                    zref[i] = jnp.where(ok, z, zbuf)
-                    if not depth_only:
-                        # slot id value-encoded in f32
-                        sid = r(12).astype(jnp.int32)
-                        iref[i] = jnp.where(ok, sid, iref[i])
+                # 8 triangles per group step, unrolled with STATIC sublane
+                # offsets: the per-triangle fixed cost (13 dynamic-address
+                # SMEM scalar loads + loop bookkeeping) dominated the
+                # per-pair time (~50 ns/pair measured vs ~20 ns of VPU
+                # plane math); unrolling pipelines the loads. Range
+                # validity folds into 3 SCALAR selects on the z-plane
+                # (invalid -> z==2 fails z<=1), costing no vector ops.
+                def group_body(g, _):
+                    for u in range(8):
+                        k = g * 8 + u
+                        if full_rows:
+                            r = lambda j, g=g, u=u: rows_smem[slot, g * 8 + u, 112 + j]
+                        else:
+                            r = lambda j, g=g, u=u: rows_smem[slot, g, u * 16 + j]
+                        valid = (k >= lo) & (k < hi)
+                        e0 = r(0) * px + r(1) * py + r(2)
+                        e1 = r(3) * px + r(4) * py + r(5)
+                        e2 = r(6) * px + r(7) * py + r(8)
+                        az = jnp.where(valid, r(9), 0.0)
+                        bz = jnp.where(valid, r(10), 0.0)
+                        cz = jnp.where(valid, r(11), 2.0)
+                        z = az * px + bz * py + cz
+                        zbuf = zref[i]
+                        ok = (
+                            (e0 >= 0.0)
+                            & (e1 >= 0.0)
+                            & (e2 >= 0.0)
+                            & (z >= 0.0)
+                            & (z <= 1.0)
+                            & (z < zbuf)
+                        )
+                        zref[i] = jnp.where(ok, z, zbuf)
+                        if not depth_only:
+                            # slot id value-encoded in f32
+                            sid = r(12).astype(jnp.int32)
+                            iref[i] = jnp.where(ok, sid, iref[i])
                     return 0
 
-                jax.lax.fori_loop(lo, hi, tri_body, 0)
+                jax.lax.fori_loop(lo // 8, pl.cdiv(hi, 8), group_body, 0)
                 return 0
 
             jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -342,7 +361,7 @@ def _select_kernel(
 
 
 def select_interp_tiles(
-    shade_rows: Array,
+    rows: Array,
     segs,
     it_tiles: Array,
     tiles_x: int,
@@ -355,17 +374,16 @@ def select_interp_tiles(
 ) -> Array:
     """Resolve the per-pixel G-buffer from tile ibufs + binned lists.
 
-    shade_rows: (P_pad, 128) from pipeline.build_shade_rows.
-    segs: (sorted_slot, seg_start, seg_len) from bin_and_rasterize.
+    rows: (pair_cap + tail, 128) shade rows ALREADY gathered into pair
+    order by bin_and_rasterize (one gather feeds both kernels).
+    segs: (seg_start, seg_len) from bin_and_rasterize.
     it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
     Returns (num_tiles, GBUF_LANES, S) f32, attr-major (pixel dim minor).
     """
     assert 128 % tile_w == 0, "tile_w must divide a lane row"
-    sorted_slot, seg_start, seg_len = segs
+    seg_start, seg_len = segs
     num_tiles = tiles_x * tile_rows
     sublanes = tile_h * tile_w // 128
-    rows = shade_rows[sorted_slot]  # (pair_cap, 128) streaming order
-    rows = jnp.pad(rows, ((0, chunk + 8), (0, 0)))  # DMA tail + floor slack
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -416,11 +434,12 @@ def raster_gbuffer(
     tiles_x = -(-width // tw)
     if tile_rows is None:
         tile_rows = -(-height // th)
-    zt, it, segs, pairs = bin_and_rasterize(
-        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind
+    zt, it, segs, pairs, rows = bin_and_rasterize(
+        setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind,
+        shade_rows=shade_rows,
     )
     gbuf = select_interp_tiles(
-        shade_rows, segs, it, tiles_x, tile_rows, th, tw, tile_row0,
+        rows, segs, it, tiles_x, tile_rows, th, tw, tile_row0,
         chunk=config.raster_chunk, vma=vma,
     )
     sublanes = th * tw // 128
@@ -441,11 +460,18 @@ def bin_and_rasterize(
     vma: tuple = (),
     kind: str = "cam",
     depth_only: bool = False,
+    shade_rows: Array | None = None,
 ):
-    """Bin + tile-raster; returns tile-major (zt, it) plus the segment
-    lists (reused by the fused shading kernel) and the pair stats.
-    With depth_only the ibuf stays cleared (-1) — the shadow pass discards
-    it, and skipping the slot-id select trims the per-triangle VPU work."""
+    """Bin + tile-raster; returns tile-major (zt, it), the segment lists,
+    the pair stats, and the pair-ordered row table (for the fused shading
+    kernel). With depth_only the ibuf stays cleared (-1) — the shadow pass
+    discards it, and skipping the slot-id select trims per-triangle work.
+
+    When ``shade_rows`` is given, the raster kernel streams the 128-lane
+    shade-row table itself (raster planes live at lanes [112:125)) — ONE
+    pair-order gather feeds both the raster and the select+interp kernel.
+    Otherwise a packed 16-lane table is built and gathered (shadow pass).
+    """
     assert (th * tw) % 128 == 0, "tile pixel count must fill whole lanes"
     num_tiles = tiles_x * tile_rows
     sublanes = th * tw // 128
@@ -461,14 +487,20 @@ def bin_and_rasterize(
             pairs.total_pairs,
             pair_cap,
         )
-    table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
     # Segments index the sorted pair list DIRECTLY (unaligned starts; the
     # kernels DMA from the floored-8 row and mask leading rows) — the old
     # align_segments re-layout cost a scatter + a 344k-row gather per pass.
-    rows = table[pairs.sorted_slot]  # (pair_cap, 16)
-    # Tail guard (DMA may read up to `chunk` + 8 rows past a segment end),
-    # then pack 8 logical rows per 128-lane row for full-lane TPU DMA.
-    rows = jnp.pad(rows, ((0, chunk + 8), (0, 0))).reshape(-1, 128)
+    # The DMA tail guard (up to `chunk` + 8 rows past a segment end) rides
+    # the gather itself via padded INDICES — a separate jnp.pad of the
+    # gathered rows cost ~0.7 ms/pass.
+    idx = jnp.pad(pairs.sorted_slot, (0, chunk + 8))
+    full_rows = shade_rows is not None
+    if full_rows:
+        rows = shade_rows[idx]  # (pair_cap + tail, 128) streaming order
+    else:
+        table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
+        # Pack 8 logical 16-f32 rows per 128-lane row for full-lane DMA.
+        rows = table[idx].reshape(-1, 128)
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     # Batch tiles per grid step to amortize per-step sequencing overhead
@@ -488,13 +520,16 @@ def bin_and_rasterize(
             pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, chunk // 8, 128), jnp.float32),
+            pltpu.SMEM(
+                (2, chunk, 128) if full_rows else (2, chunk // 8, 128),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _raster_kernel, tiles_x=tiles_x, tile_h=th, tile_w=tw, chunk=chunk,
-        depth_only=depth_only, tps=tps,
+        depth_only=depth_only, tps=tps, full_rows=full_rows,
     )
     zt, it = pl.pallas_call(
         kernel,
@@ -507,8 +542,8 @@ def bin_and_rasterize(
         ],
         interpret=_interpret(),
     )(seg_start, seg_len, row0_arr, rows)
-    segs = (pairs.sorted_slot, seg_start, seg_len)
-    return zt[:num_tiles], it[:num_tiles], segs, pairs
+    segs = (seg_start, seg_len)
+    return zt[:num_tiles], it[:num_tiles], segs, pairs, rows
 
 
 def rasterize_tiled(
@@ -541,7 +576,7 @@ def rasterize_tiled(
         tile_rows = -(-height // th)
     if tile_row0 is None:
         tile_row0 = 0
-    zt, it, _segs, pairs = bin_and_rasterize(
+    zt, it, _segs, pairs, _rows = bin_and_rasterize(
         setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind,
         depth_only,
     )

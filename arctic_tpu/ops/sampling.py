@@ -246,3 +246,38 @@ def srgb_to_linear(c: Array) -> Array:
 def linear_to_srgb(c: Array) -> Array:
     c = jnp.asarray(c, jnp.float32)
     return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
+
+
+def quad_index(block_grid, ry, rx, rh, rw, u, v):
+    """Shared index math of the quad samplers -> (q, fx, fy).
+
+    Identical arithmetic to sample_quads_flat/_packed's prologue (bit-exact
+    taps when a caller gathers the same quad row itself, e.g. the merged
+    texture+environment gather in pipeline.shade_gbuffer).
+    """
+    ry = jnp.asarray(ry).astype(jnp.int32)
+    rx = jnp.asarray(rx).astype(jnp.int32)
+    rh = jnp.asarray(rh).astype(jnp.int32)
+    rw = jnp.asarray(rw).astype(jnp.int32)
+    t_x = u * rw - 0.5
+    t_y = v * rh - 0.5
+    ix0 = jnp.floor(t_x).astype(jnp.int32)
+    iy0 = jnp.floor(t_y).astype(jnp.int32)
+    fx = t_x - ix0
+    fy = t_y - iy0
+    ys = ry + iy0 % rh + 1
+    xs = rx + ix0 % rw + 1
+    bh, bw = block_grid
+    copy = (ys % 2) * 2 + xs % 2
+    q = (copy * bh + ys // 2) * bw + xs // 2
+    return q, fx, fy
+
+
+def lerp_quad(win: Array, fx, fy) -> Array:
+    """Bilinear lerp of a gathered f32 [c00|c10|c01|c11] quad window."""
+    c = win.shape[-1] // 4
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = win[..., :c] + (win[..., c : 2 * c] - win[..., :c]) * fx
+    bot = win[..., 2 * c : 3 * c] + (win[..., 3 * c :] - win[..., 2 * c : 3 * c]) * fx
+    return top + (bot - top) * fy

@@ -139,3 +139,14 @@ def camera_ray_directions(camera, height: int, width: int, row0=0.0, rows=None) 
     view = maths.camera_view_matrix(camera.eye, camera.rotation)
     rot = view[:3, :3]  # rows: right, up, -forward
     return jnp.einsum("ji,hwj->hwi", rot, dir_view)
+
+
+def env_uv_cf(dx: Array, dy: Array, dz: Array):
+    """Equirect (u, v) of channel-first ray components (skybox.hlsl:74-85,
+    incl. the uv.y negation) — the index half of sample_environment_cf, for
+    callers that perform the quad gather themselves (merged taps)."""
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    nx, ny, nz = dx / norm, dy / norm, dz / norm
+    u = jnp.arctan2(nz, nx) * INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) * INV_ATAN[1] + 0.5
+    return u, -v  # skybox.hlsl:83

@@ -134,7 +134,7 @@ def render_frame_sharded_stats(
         # ICI collective.
         sh_clipped = raster.near_clip_corners(sun_clip, tri_valid)
         sh_setup = raster.setup_screen_triangles(sh_clipped, s, s, cull="front")
-        sh_zt, _, _, sh_pairs = raster_tiles.bin_and_rasterize(
+        sh_zt, _, _, sh_pairs, _ = raster_tiles.bin_and_rasterize(
             sh_setup, s, config, sh_tiles_x, sh_rows_dev, st, st,
             tile_row0=d * sh_rows_dev, vma=vma, kind="shadow", depth_only=True,
         )

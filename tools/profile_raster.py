@@ -86,7 +86,7 @@ def main():
 
     @jax.jit
     def stage_kernel_only(setup):
-        zt, it, segs, pairs = raster_tiles.bin_and_rasterize(
+        zt, it, segs, pairs, _rows = raster_tiles.bin_and_rasterize(
             setup, W, config, tiles_x, tile_rows, config.tile_h, config.tile_w, 0
         )
         return it
@@ -134,7 +134,7 @@ def main():
 
     @jax.jit
     def sh_raster(ssetup):
-        zt, it, segs, pairs = raster_tiles.bin_and_rasterize(
+        zt, it, segs, pairs, _rows = raster_tiles.bin_and_rasterize(
             ssetup, s, config, stx, stx, st, st, 0
         )
         return zt
