@@ -44,6 +44,8 @@ button{background:#333;color:#ccc;border:1px solid #666}</style></head><body>
 <canvas id=plot width=420 height=90></canvas>
 <div style="font-size:11px">yellow: frame ms (left) / cyan: fps (right), last 1000 frames</div></fieldset>
 <fieldset><legend>settings</legend>
+resolution <input id=rw value=%W%> x <input id=rh value=%H%>
+<button id=applyres>apply</button> (recompiles — the PSO-rebuild analogue)<br>
 cam speed <input id=speed value=10> sens <input id=sens value=0.5><br>
 cam pos <input id=cpx> <input id=cpy> <input id=cpz>
 rot <input id=crx> <input id=cry><br>
@@ -70,6 +72,8 @@ c.onmousemove=e=>{if(drag){dx+=e.movementX;dy+=e.movementY}};
 window.onkeydown=e=>{if(document.activeElement.tagName!=='INPUT')keys[e.code]=1};
 window.onkeyup=e=>keys[e.code]=0;
 const v=id=>document.getElementById(id).value;
+let pendingRes=null;
+document.getElementById('applyres').onclick=()=>{pendingRes=v('rw')+'x'+v('rh')};
 const camIds=['cpx','cpy','cpz','crx','cry'];
 camIds.forEach(id=>{document.getElementById(id).onchange=()=>camDirty=true});
 
@@ -116,9 +120,12 @@ async function loop(){
     q.set('cam_rot',[v('crx'),v('cry')].join(','));
     camDirty=false;
   }
+  if(pendingRes){q.set('res',pendingRes);pendingRes=null}
   dx=0;dy=0;
   const r=await fetch('/frame?'+q); const b=await r.blob();
-  const img=await createImageBitmap(b); ctx.drawImage(img,0,0);
+  const img=await createImageBitmap(b);
+  if(img.width!=c.width||img.height!=c.height){c.width=img.width;c.height=img.height}
+  ctx.drawImage(img,0,0);
   const st=JSON.parse(r.headers.get('X-Stats')||'{}');
   const t1=performance.now(),ms=t1-t0;t0=t1;
   hist_ms.push(st.ms||ms);hist_fps.push(1000/(st.ms||ms));
@@ -183,6 +190,38 @@ class ViewerState:
             now = time.perf_counter()
             dt = min(now - self.last_time, 0.1)
             self.last_time = now
+
+            # Runtime resolution change = new RenderConfig + recompile,
+            # the PSO-rebuild analogue of Renderer::resize
+            # (app.cpp:526-535; the reference resizes only the swapchain
+            # and leaves its intermediate targets stale — we rebuild all
+            # targets consistently, trading a compile pause).
+            if "res" in q:
+                try:
+                    w, h = (int(x) for x in q["res"][0].split("x"))
+                except ValueError:
+                    w = h = 0
+                if (
+                    64 <= w <= 4096 and 64 <= h <= 4096
+                    and (w, h) != (self.config.width, self.config.height)
+                ):
+                    from arctic_tpu.models import pipeline
+
+                    config = self.config.with_resolution(w, h)
+                    if not config.force_bruteforce:
+                        config = pipeline.autotune_pair_caps(
+                            self.buffers, self.params, config, margin=4.0
+                        )
+                    self.config = config
+                    self.render = pipeline.make_renderer_stats(config)
+                    self.params = dataclasses.replace(
+                        self.params,
+                        camera=dataclasses.replace(
+                            self.params.camera,
+                            aspect=jnp.float32(w / h),
+                        ),
+                    )
+                    print(f"viewer: resolution -> {w}x{h} (recompiling)")
 
             self.fly.speed = f("speed", self.fly.speed)
             self.fly.sensitivity = f("sens", self.fly.sensitivity)

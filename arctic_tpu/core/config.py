@@ -40,10 +40,18 @@ class RenderConfig:
     # Triangles processed per inner rasterizer step (list chunk size).
     raster_chunk: int = 128
 
+    # Chunk size of the select+interp kernel's row stream. Its MXU dot cost
+    # is per-CHUNK fixed (a tile with 10 pairs pays a full chunk-row dot),
+    # so smaller chunks waste less on sparse tiles at the price of more
+    # dispatches on dense ones.
+    select_chunk: int = 64
+
     # Tiles processed per raster-kernel grid step: amortizes the ~1 us
     # per-step sequencing/writeback overhead over several (often sparsely
     # populated) tiles. Pure scheduling knob — results are invariant.
-    tiles_per_step: int = 4
+    # (8 + select_chunk 64 measured best in the round-3 sweep,
+    # tools/probe_variants.py.)
+    tiles_per_step: int = 8
 
     # Capacity of the (tile, triangle) pair buffer as a multiple of the
     # triangle capacity, plus a flat reserve for large-footprint triangles.

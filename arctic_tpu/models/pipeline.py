@@ -43,6 +43,11 @@ from arctic_tpu.ops.sampling import (
 
 Array = jnp.ndarray
 
+# Materialization-fence knobs (tools/probe_variants.py measures them on
+# hardware; both True won the round-3 sweep — see docs/ROADMAP.md).
+FENCE_SHADE_ROWS = True
+FENCE_GBUF = True
+
 
 def vertex_world_positions(geom: Geometry) -> Array:
     """Apply per-object TRS to vertices (depth.hlsl:9 / forward.hlsl:52)."""
@@ -683,11 +688,13 @@ def render_frame_stats(
             # concat into the 600k-row alignment gather's consumer, and the
             # full-frame program runs ~2x slower than the stages do in
             # isolation (measured 713 ms vs 344 ms stage sum).
-            shade_rows = jax.lax.optimization_barrier(shade_rows)
+            if FENCE_SHADE_ROWS:
+                shade_rows = jax.lax.optimization_barrier(shade_rows)
             ibuf_tiles, gbuf, cam_pairs = raster_tiles.raster_gbuffer(
                 setup, shade_rows, config.height, config.width, config
             )
-            ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
+            if FENCE_GBUF:
+                ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
         cam_cap = config.pair_capacity(setup.capacity)
         with jax.named_scope("forward_shade_skybox"):
             hdr = shade_gbuffer(

@@ -33,6 +33,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _round_up_8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
 def _raster_kernel(
     # scalar prefetch
     seg_start_ref,
@@ -440,7 +444,7 @@ def raster_gbuffer(
     )
     gbuf = select_interp_tiles(
         rows, segs, it, tiles_x, tile_rows, th, tw, tile_row0,
-        chunk=config.raster_chunk, vma=vma,
+        chunk=config.select_chunk, vma=vma,
     )
     sublanes = th * tw // 128
     num_tiles = tiles_x * tile_rows
@@ -493,8 +497,13 @@ def bin_and_rasterize(
     # The DMA tail guard (up to `chunk` + 8 rows past a segment end) rides
     # the gather itself via padded INDICES — a separate jnp.pad of the
     # gathered rows cost ~0.7 ms/pass.
-    idx = jnp.pad(pairs.sorted_slot, (0, chunk + 8))
     full_rows = shade_rows is not None
+    # DMA tail: the raster kernel reads up to `chunk`+8 rows past a segment
+    # end; the select kernel (which streams the same buffer) up to its own
+    # chunk size.
+    tail = chunk + 8 + (max(config.select_chunk - chunk, 0) if full_rows else 0)
+    tail = _round_up_8(tail)
+    idx = jnp.pad(pairs.sorted_slot, (0, tail))
     if full_rows:
         rows = shade_rows[idx]  # (pair_cap + tail, 128) streaming order
     else:

@@ -125,3 +125,31 @@ def test_viewer_lights_sun_and_stats():
             assert needle in page, needle
     finally:
         server.shutdown()
+
+
+def test_viewer_resolution_change():
+    """/frame?res=WxH rebuilds the renderer (the PSO-rebuild analogue) and
+    subsequent frames come back at the new size with the aspect updated."""
+    from PIL import Image
+    import io as _io
+
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64, force_bruteforce=True)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    state = viewer.ViewerState(
+        buffers,
+        default_scene_params(aspect=W / H),
+        default_settings(),
+        config,
+        pipeline.make_renderer_stats(config),
+    )
+    png, _ = state.step({})
+    assert Image.open(_io.BytesIO(png)).size == (64, 48)
+    png, _ = state.step({"res": ["96x64"]})
+    assert Image.open(_io.BytesIO(png)).size == (96, 64)
+    assert state.config.width == 96 and state.config.height == 64
+    assert abs(float(state.params.camera.aspect) - 96 / 64) < 1e-6
+    # bad input is ignored
+    png, _ = state.step({"res": ["0x0"]})
+    assert Image.open(_io.BytesIO(png)).size == (96, 64)
