@@ -27,6 +27,15 @@ from arctic_tpu.ops.raster import TriSetup
 Array = jnp.ndarray
 
 
+CUMMAX_ASSOC = False  # associative_scan variant (measured: no win in-pipeline)
+
+
+def _cummax(x):
+    if CUMMAX_ASSOC:
+        return jax.lax.associative_scan(jnp.maximum, x)
+    return jax.lax.cummax(x)
+
+
 class BinnedPairs(NamedTuple):
     sorted_slot: Array  # (pair_cap,) i32 slot id per pair, grouped by tile
     tile_start: Array  # (num_tiles + 1,) i32 segment offsets into sorted_slot
@@ -170,8 +179,10 @@ def bin_triangles(
         jnp.arange(n_groups, dtype=jnp.int32)
     )
     mm = m0[:pair_capacity]
-    group = jax.lax.cummax(mm) + 1  # group containing pair `pos`
-    gbase = jax.lax.cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
+    # (Packing both maxima into one scanned i32 needs 15 group bits + 19
+    # position bits > 31 — two scans it is.)
+    group = _cummax(mm) + 1  # group containing pair `pos`
+    gbase = _cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
     off = pos - gbase  # pair offset within the group
 
     # Packed local-cumsum table: loc[g, j] = cum[g*G + j] - group_start(g),

@@ -29,6 +29,10 @@ Array = jnp.ndarray
 
 PCF_UV_STEP = 0.0001  # forward.hlsl:88
 
+# Layout-boundary fence placement in the LUT path: "r32" (default),
+# "rowfull", "block", or "none" — A/B'd on hardware by tools/probe_variants.
+PCF_FENCE = "r32"
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -260,9 +264,13 @@ def pcf_shadow_proj(
         # their (discarded) window gathers at one cached row.
         jrow = jnp.where(outside, 0, jrow)
         rowfull = lutp[jrow]  # (..., 128): two 8x8 blocks, one row gather
+        if PCF_FENCE == "rowfull":
+            rowfull = jax.lax.optimization_barrier(rowfull)
         block = jnp.where(
             (k2 == 1)[..., None], rowfull[..., 64:128], rowfull[..., 0:64]
         )  # (..., 64), lanes wr * 8 + wc
+        if PCF_FENCE == "block":
+            block = jax.lax.optimization_barrier(block)
         # Window rows [yoff, yoff + 4): one 4-way select of 32-lane slices.
         r32 = block[..., 0:32]
         for yy in range(1, 4):
@@ -272,7 +280,8 @@ def pcf_shadow_proj(
         # Fence: without it XLA relayouts the gathered 128-lane rows (a
         # 3.2 ms channel-first copy at 1080p) before extracting; fencing
         # here makes the 4x smaller (..., 32) slice the layout boundary.
-        r32 = jax.lax.optimization_barrier(r32)
+        if PCF_FENCE == "r32":
+            r32 = jax.lax.optimization_barrier(r32)
         # Window cols [xoff, xoff + 4) per row: 4-way selects of 4 lanes.
         rows = []
         for r in range(4):

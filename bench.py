@@ -205,6 +205,11 @@ def main() -> None:
 
     n_frames = 20
     frames = [frame_params(i) for i in range(n_frames)]
+    # Pre-stage every viewpoint's params on the device: each SceneParams is
+    # ~a dozen tiny host arrays, and through the remote-TPU tunnel their
+    # per-frame H2D uploads serialize into the dispatch path (the reference
+    # analogue is a 32-bit root-constant set — negligible by design).
+    frames = jax.device_put(frames)
 
     # Size the pair buffers to the scene (sort/align costs scale with
     # capacity; the formula default is ~5x oversized for this scene). The

@@ -55,11 +55,23 @@ def main():
     )
     base = dataclasses.replace(base, static_point_lights=4)
 
-    def run(name, config, fence_rows=True, fence_gbuf=True):
+    def run(name, config, fence_rows=True, fence_gbuf=True, retune=False):
+        if retune:
+            # Tile-shape variants change pair counts: reusing the base caps
+            # could silently overflow (dropped pairs = fake speedups).
+            config = dataclasses.replace(
+                config, pair_cap_cam=None, pair_cap_shadow=None
+            )
+            config = pipeline.autotune_pair_caps(
+                bufs, [frame_params(0), frame_params(10), frame_params(19)],
+                config, margin=1.4,
+            )
         pipeline.FENCE_SHADE_ROWS = fence_rows
         pipeline.FENCE_GBUF = fence_gbuf
         render = pipeline.make_renderer_stats(config)
-        out = render(bufs, frame_params(0), settings)
+        out, rstats = render(bufs, frame_params(0), settings)
+        pipeline.check_stats(jax.device_get(rstats))
+        out = (out, rstats)
         _sync(out)
         n = 8
         t0 = time.perf_counter()
@@ -71,12 +83,39 @@ def main():
         pipeline.FENCE_SHADE_ROWS = True
         pipeline.FENCE_GBUF = True
 
-    run("base", base)
-    run("nofence_rows", base, fence_rows=False)
-    run("nofence_gbuf", base, fence_gbuf=False)
-    run("select_chunk64", dataclasses.replace(base, select_chunk=64))
-    run("tps8", dataclasses.replace(base, tiles_per_step=8))
-    run("tps8+chunk64", dataclasses.replace(base, tiles_per_step=8, select_chunk=64))
+    from arctic_tpu.ops import binning, shadow
+
+    batch = sys.argv[1] if len(sys.argv) > 1 else "r3a"
+    if batch == "r3a":
+        # Round-3 sweep #1 (recorded): base 102.98, nofence_rows 102.32,
+        # nofence_gbuf 100.69, select_chunk64 102.64, tps8 102.38,
+        # tps8+chunk64 99.56 ms — defaults updated to tps8+chunk64.
+        run("base", base)
+        run("nofence_rows", base, fence_rows=False)
+        run("nofence_gbuf", base, fence_gbuf=False)
+        run("select_chunk64", dataclasses.replace(base, select_chunk=64))
+        run("tps8", dataclasses.replace(base, tiles_per_step=8))
+        run("tps8+chunk64", dataclasses.replace(base, tiles_per_step=8, select_chunk=64))
+    elif batch == "r3c":
+        # Tile-shape re-sweep post unroll-8 (per-pair fixed cost halved,
+        # so round-2 optima may have shifted).
+        run("base", base)
+        run("cam_tile64", dataclasses.replace(base, tile_h=64, tile_w=64), retune=True)
+        run("shadow_tile32", dataclasses.replace(base, shadow_tile=32), retune=True)
+        run("shadow_tile128", dataclasses.replace(base, shadow_tile=128), retune=True)
+        run("chunk256", dataclasses.replace(base, raster_chunk=256))
+    elif batch == "r3b":
+        # Recorded: base 100.57, nofence_gbuf 100.76, assoc_scan 104.01,
+        # pcf_fence rowfull/block/none 102.5/102.4/103.4 — defaults kept.
+        run("base", base)
+        run("nofence_gbuf", base, fence_gbuf=False)
+        binning.CUMMAX_ASSOC = True
+        run("assoc_scan", base)
+        binning.CUMMAX_ASSOC = False
+        for fence in ("rowfull", "block", "none"):
+            shadow.PCF_FENCE = fence
+            run(f"pcf_fence_{fence}", base)
+        shadow.PCF_FENCE = "r32"
 
 
 if __name__ == "__main__":
