@@ -32,10 +32,13 @@ class RenderConfig:
 
     # Screen tile shape for the binned rasterizer. Tiles are flattened
     # row-major into (tile_h*tile_w/128, 128) VMEM blocks, so tile_h*tile_w
-    # must be a multiple of 128; 32x32 balances pair count (squarer tiles bin
-    # fewer triangle-tile pairs) against per-triangle VPU work.
-    tile_h: int = 32
-    tile_w: int = 32
+    # must be a multiple of 128. 64x64 won the round-3 sweep (93.2 vs
+    # 100.5 ms at 32x32): the unroll-8 kernel halved the per-pair fixed
+    # cost, so fewer (tile, tri) pairs now beat smaller pixel blocks —
+    # 32x64/64x128/shadow-tile changes all measured worse
+    # (tools/probe_variants.py r3c/r3d).
+    tile_h: int = 64
+    tile_w: int = 64
 
     # Triangles processed per inner rasterizer step (list chunk size).
     raster_chunk: int = 128

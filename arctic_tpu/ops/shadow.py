@@ -202,7 +202,9 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int]:
             (1, 8 * 16 * xb, 128), lambda q, jb: (q * jb_count + jb, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (sq8 * jb_count, 8 * 16 * xb, 128), jnp.float32
+            # vma: the shadow map is replicated under shard_map (all-
+            # gathered before PCF), so the LUT is unvarying on every axis.
+            (sq8 * jb_count, 8 * 16 * xb, 128), jnp.float32, vma=frozenset()
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 40, xb, 128), jnp.float32),

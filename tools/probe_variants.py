@@ -104,6 +104,15 @@ def main():
         run("shadow_tile32", dataclasses.replace(base, shadow_tile=32), retune=True)
         run("shadow_tile128", dataclasses.replace(base, shadow_tile=128), retune=True)
         run("chunk256", dataclasses.replace(base, raster_chunk=256))
+    elif batch == "r3d":
+        # Around the cam-tile-64 optimum (r3c: base 100.46, cam64 93.17,
+        # shadow_tile 32/128 and chunk256 all worse).
+        t64 = dataclasses.replace(base, tile_h=64, tile_w=64)
+        run("cam64", t64, retune=True)
+        run("cam64_chunk128", dataclasses.replace(t64, select_chunk=128), retune=True)
+        run("cam_32x64", dataclasses.replace(base, tile_h=32, tile_w=64), retune=True)
+        run("cam_64x128", dataclasses.replace(base, tile_h=64, tile_w=128), retune=True)
+        run("cam64_tps4", dataclasses.replace(t64, tiles_per_step=4), retune=True)
     elif batch == "r3b":
         # Recorded: base 100.57, nofence_gbuf 100.76, assoc_scan 104.01,
         # pcf_fence rowfull/block/none 102.5/102.4/103.4 — defaults kept.
