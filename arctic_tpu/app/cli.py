@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--devices", type=int, default=0, help="render across N devices (0 = single)")
     r.add_argument("--stats", action="store_true", help="print frame-time stats")
     r.add_argument("--raytrace", action="store_true", help="BVH ray-traced reference mode")
+    r.add_argument(
+        "--ibl", action="store_true",
+        help="opt-in IBL specular term (the reference's unticked roadmap item)",
+    )
     r.add_argument("--load-state", help="load camera/lights/settings JSON")
     r.add_argument("--save-state", help="write camera/lights/settings JSON after rendering")
     r.add_argument("--debug-checks", action="store_true", help="enable NaN/Inf checking")
@@ -96,6 +100,7 @@ def cmd_render(args) -> int:
         height=args.height,
         shadow_size=args.shadow_size,
         force_bruteforce=args.bruteforce,
+        ibl_specular=args.ibl,
         **overrides,
     )
     buffers = build_buffers(meshes, objects, materials, env)

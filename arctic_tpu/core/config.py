@@ -96,6 +96,14 @@ class RenderConfig:
     # the tiled rasterizer; ignored under force_bruteforce.
     fused_shade: bool = True
 
+    # Opt-in image-based specular lighting — the reference's unticked IBL
+    # roadmap item (README.md:15). Its sample_environment helper exists as
+    # dead code (forward.hlsl:195-206, no uv.y negation unlike the skybox);
+    # we compose it minimally as color += fresnel_schlick(n.wo, F0) *
+    # env(reflect(-wo, n)) (single-mip env — the reference has no
+    # prefiltered mips either). Off by default: parity output has no IBL.
+    ibl_specular: bool = False
+
     # Print a device-side warning when the (tile, triangle) pair buffer
     # overflows (overflowing pairs are dropped -> missing fragments).
     debug_overflow: bool = False

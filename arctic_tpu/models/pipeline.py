@@ -413,6 +413,15 @@ def shade(
             lo = light_body(i, lo)
     color = lo + params.ambient * base_color  # forward.hlsl:233
 
+    if config.ibl_specular:
+        # Opt-in IBL specular (see core/config.py): F(n.wo) * env(reflect).
+        ndotwo = jnp.sum(n * wo, axis=-1, keepdims=True)
+        refl = 2.0 * ndotwo * n - wo
+        env_c = sky.sample_environment_ibl(buffers.environment, refl)
+        f0 = 0.04 + (base_color - 0.04) * metalness[..., None]
+        f = pbr.fresnel_schlick(jnp.maximum(ndotwo, 0.0), f0)
+        color = color + f * env_c
+
     # Skybox where no geometry wrote depth (skybox pass semantics).
     dirs = sky.camera_ray_directions(params.camera, config.height, w, row0=y0, rows=h)
     background = sky.sample_environment(buffers.environment, dirs)
@@ -627,6 +636,21 @@ def shade_gbuffer(
         for i in range(min(config.static_point_lights, MAX_POINT_LIGHTS)):
             lo = light_body(i, lo)
     color = lo + params.ambient * base_color
+
+    if config.ibl_specular:
+        # Opt-in IBL specular, channel-first (see core/config.py and the
+        # deferred-path twin in shade()): F(n.wo, F0) * env(reflect(-wo, n)).
+        ndotwo = jnp.sum(n * wo, axis=1, keepdims=True)  # (T, 1, S)
+        rx = 2.0 * ndotwo[:, 0, :] * n[:, 0, :] - wo[:, 0, :]
+        ry = 2.0 * ndotwo[:, 0, :] * n[:, 1, :] - wo[:, 1, :]
+        rz = 2.0 * ndotwo[:, 0, :] * n[:, 2, :] - wo[:, 2, :]
+        er, eg, eb = sky.sample_environment_ibl_cf(
+            buffers.environment, rx, ry, rz
+        )
+        env_c = jnp.stack([er, eg, eb], axis=1)  # (T, 3, S)
+        f0 = 0.04 + (base_color - 0.04) * metalness
+        f = pbr.fresnel_schlick(jnp.maximum(ndotwo, 0.0), f0)
+        color = color + f * env_c
 
     # Skybox where no geometry wrote depth (already sampled by the merged
     # tap above when available; separate gather otherwise).

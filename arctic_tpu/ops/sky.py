@@ -150,3 +150,44 @@ def env_uv_cf(dx: Array, dy: Array, dz: Array):
     u = jnp.arctan2(nz, nx) * INV_ATAN[0] + 0.5
     v = jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) * INV_ATAN[1] + 0.5
     return u, -v  # skybox.hlsl:83
+
+
+def sample_environment_ibl(env, direction: Array) -> Array:
+    """Equirect sample per forward.hlsl:195-206 — the reference's DEAD IBL
+    helper: identical to the skybox lookup but WITHOUT the uv.y negation.
+    Used only by the opt-in IBL-specular term (config.ibl_specular)."""
+    d = maths.normalize(direction)
+    u = jnp.arctan2(d[..., 2], d[..., 0]) * INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) * INV_ATAN[1] + 0.5
+    atlas = getattr(env, "atlas", None)
+    if atlas is not None and atlas.quads_packed is not None:
+        from arctic_tpu.ops.sampling import sample_quads_packed
+
+        reg = atlas.regions[0, 0]
+        return sample_quads_packed(
+            atlas.quads_packed, atlas.block_grid,
+            reg[0], reg[1], reg[2], reg[3], u, v,
+        )[..., :3]
+    data = getattr(env, "data", env)
+    return sample_bilinear_wrap(data, jnp.stack([u, v], axis=-1))[..., :3]
+
+
+def sample_environment_ibl_cf(env, dx: Array, dy: Array, dz: Array):
+    """Channel-first sample_environment_ibl: returns (r, g, b) planes."""
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    nx, ny, nz = dx / norm, dy / norm, dz / norm
+    u = jnp.arctan2(nz, nx) * INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) * INV_ATAN[1] + 0.5
+    atlas = getattr(env, "atlas", None)
+    if atlas is not None and atlas.quads_packed is not None:
+        from arctic_tpu.ops.sampling import sample_quads_packed
+
+        reg = atlas.regions[0, 0]
+        out = sample_quads_packed(
+            atlas.quads_packed, atlas.block_grid,
+            reg[0], reg[1], reg[2], reg[3], u, v,
+        )
+        return out[..., 0], out[..., 1], out[..., 2]
+    data = getattr(env, "data", env)
+    out = sample_bilinear_wrap(data, jnp.stack([u, v], axis=-1))
+    return out[..., 0], out[..., 1], out[..., 2]

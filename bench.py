@@ -47,7 +47,19 @@ def conformance_checks() -> None:
     # oracle takes ~14 s at this size — bench preflight, not test-suite.
     W, H, SHADOW = 640, 360, 1024
     meshes, objects, materials, env = cornell_like_scene()
-    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    # The rendered buffers come through the GLB writer -> glTF loader round
+    # trip while the f64 oracle uses the ORIGINAL procedural scene — a
+    # loader/exporter bug shows up as a PSNR drop instead of cancelling out
+    # (VERDICT r2 missing #1: loader -> bench -> PSNR on the asset path).
+    import tempfile
+
+    from arctic_tpu.io.gltf import load_gltf
+    from arctic_tpu.io.gltf_export import save_glb
+
+    with tempfile.TemporaryDirectory(prefix="arctic_conf_") as td:
+        save_glb(f"{td}/cornell.glb", meshes, objects, materials)
+        l_meshes, l_objects, l_materials = load_gltf(f"{td}/cornell.glb")
+    bufs = build_buffers(l_meshes, l_objects, l_materials, env, tri_bucket=256)
     config = RenderConfig(width=W, height=H, shadow_size=SHADOW)
 
     cam = dict(eye=[0.0, 4.0, 3.0], rotation=[-25.0, -90.0], aspect=W / H,

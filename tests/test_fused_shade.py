@@ -66,6 +66,38 @@ def test_fused_matches_bruteforce(scene_fn, eye, rot, lights):
     assert (diff > 0).mean() < 0.01
 
 
+def test_ibl_specular_paths_agree():
+    """Opt-in IBL specular (config.ibl_specular): fused channel-first and
+    deferred implementations agree <=1 LSB, and the term visibly changes the
+    image (it is not a no-op). Reference: the dead sample_environment helper
+    forward.hlsl:195-206 (no uv.y negation, unlike the skybox)."""
+    meshes, objects, materials, env = helmet_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _params(W / H, [0.0, 2.2, 0.5], [-8.0, -90.0])
+    s = default_settings()
+
+    base = dict(width=W, height=H, shadow_size=SHADOW)
+    img_off = np.asarray(
+        pipeline.render_frame(bufs, p, s, RenderConfig(**base, fused_shade=True))
+    )
+    img_fused = np.asarray(
+        pipeline.render_frame(
+            bufs, p, s, RenderConfig(**base, fused_shade=True, ibl_specular=True)
+        )
+    )
+    img_bf = np.asarray(
+        pipeline.render_frame(
+            bufs, p, s,
+            RenderConfig(**base, force_bruteforce=True, ibl_specular=True),
+        )
+    )
+    diff = np.abs(img_fused.astype(int) - img_bf.astype(int))
+    assert diff.max() <= 1, f"IBL fused vs deferred differs by {diff.max()}"
+    assert np.abs(img_fused.astype(int) - img_off.astype(int)).max() > 2, (
+        "ibl_specular=True did not change the image"
+    )
+
+
 def test_fused_vs_golden_oracle():
     """Full fused pipeline >= 40 dB vs the float64 oracle (BASELINE metric)."""
     from arctic_tpu.models import golden
