@@ -33,6 +33,15 @@ PCF_UV_STEP = 0.0001  # forward.hlsl:88
 # "rowfull", "block", or "none" — A/B'd on hardware by tools/probe_variants.
 PCF_FENCE = "r32"
 
+# Use the u16-quantized u32-packed window LUT (v3) on the TPU LUT path.
+# XLA gather cost is set by TABLE SIZE (~5.5 ns/row <= 96 MB, ~13.7 >= 126,
+# probe_gather2/probe_u32pack): quantizing depth to u16 and packing two
+# texels per 32-bit lane puts the 4000^2 window table at 92 MB — under the
+# cliff — for a ~2x cheaper per-pixel window gather. Depth error <= 7.7e-6
+# only flips PCF taps where |z - filtered depth| < ~1.5e-5 (silhouette
+# pixels); the f64-oracle PSNR gate in bench.py bounds the impact.
+PCF_QUANT = True
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -215,7 +224,177 @@ def build_window_lut(shadow_map: Array) -> tuple[Array, int]:
     return lut.reshape(-1, 128), xb
 
 
-def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None = None) -> Array:
+def _select_mats_q() -> jnp.ndarray:
+    """(2, 8, 128, 512) 0/1 matrices for the quantized LUT's lane scatter.
+
+    A 128-col source chunk holds 16 blocks of 8 texels (stride-4 x-parity
+    views exactly as in _select_mats). Block rows are 4 u32 lanes wide
+    (two u16 texels per lane), so row r of block m lands at dst lanes
+    [32m + 4r, +4): S[0] (even texels, lane low half) has
+    S[0][r][8m + 2c, 32m + 4r + c] = 1 and S[1] (odd texels, high half)
+    S[1][r][8m + 2c + 1, 32m + 4r + c] = 1 — the u32 pack then needs NO
+    lane shuffle: packed = q_even | q_odd << 16 elementwise.
+    """
+    import numpy as np
+
+    s = np.zeros((2, 8, 128, 512), np.float32)
+    for r in range(8):
+        for m in range(16):
+            for c in range(4):
+                s[0, r, 8 * m + 2 * c, 32 * m + 4 * r + c] = 1.0
+                s[1, r, 8 * m + 2 * c + 1, 32 * m + 4 * r + c] = 1.0
+    return jnp.asarray(s)
+
+
+def _lut_kernel_q(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
+    # One grid step builds the 16-row blocks for 4 consecutive qy rows
+    # (y-stride 12 -> 48 shared source rows + 16-row block tail = 56-row
+    # slab, 8-aligned starts at 48*step). Each block is built in two 8-row
+    # halves (h) that REUSE the same one-hot matrices on different source
+    # rows, keeping smat at 2 MB of VMEM. Per (sx, h): even/odd texel
+    # accumulators (4xb, 512) -> quantize to u16 range and pack two texels
+    # per i32 lane elementwise (Mosaic has no f32->u32 cast; the i32 bit
+    # pattern is identical and consumers use logical shifts).
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    total = pl.num_programs(0) * pl.num_programs(1)
+    slot = jax.lax.rem(step, 2)
+
+    def dma(st, sl, sx):
+        return pltpu.make_async_copy(
+            in2_hbm.at[sx, pl.ds(48 * st, 56)],
+            slab.at[sl, sx],
+            sems.at[sl, sx],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(step, slot, 0).start()
+        dma(step, slot, 1).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma(step + 1, 1 - slot, 0).start()
+        dma(step + 1, 1 - slot, 1).start()
+
+    dma(step, slot, 0).wait()
+    dma(step, slot, 1).wait()
+
+    packed = []  # [sx][h] -> (4 * xb, 512) i32
+    for sx in range(2):
+        per_h = []
+        for h in range(2):
+            accs = []
+            for eo in range(2):
+                acc = jnp.zeros((4 * xb, 512), jnp.float32)
+                for r in range(8):
+                    x = jnp.concatenate(
+                        [slab[slot, sx, 12 * jj + 8 * h + r] for jj in range(4)],
+                        axis=0,
+                    )  # (4 * xb, 128)
+                    # Same exact 3-way bf16 split as _lut_kernel.
+                    hi = x.astype(jnp.bfloat16)
+                    r1 = x - hi.astype(jnp.float32)
+                    mid = r1.astype(jnp.bfloat16)
+                    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                    smat_bf16 = smat_ref[eo, r].astype(jnp.bfloat16)
+                    for part in (hi, mid, lo):
+                        acc = acc + jax.lax.dot_general(
+                            part,
+                            smat_bf16,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                accs.append(acc)
+            q_e = jnp.clip(accs[0] * 65535.0 + 0.5, 0.0, 65535.0).astype(jnp.int32)
+            q_o = jnp.clip(accs[1] * 65535.0 + 0.5, 0.0, 65535.0).astype(jnp.int32)
+            per_h.append(q_e | (q_o << 16))
+        packed.append(per_h)
+
+    # Row layout: lanes [0:32) sx0 rows 0-7, [32:64) sx0 rows 8-15,
+    # [64:96) sx1 rows 0-7, [96:128) sx1 rows 8-15 (see window_row_index_q).
+    for jj in range(4):
+        for m in range(16):
+            out_ref[0, pl.ds(jj * 16 * xb + m * xb, xb), :] = jnp.concatenate(
+                [
+                    packed[sx][h][jj * xb : (jj + 1) * xb, 32 * m : 32 * m + 32]
+                    for sx in range(2)
+                    for h in range(2)
+                ],
+                axis=1,
+            )
+
+
+def window_row_index_q(start_y, start_x, xb: int):
+    """Quantized-LUT location of the window at padded coords (y, x).
+
+    x geometry is identical to window_row_index (stride-4 parity blocks,
+    16 pairs per 128-col chunk). y blocks are 16 texel rows at stride 12:
+    qy = y // 12, yoff = y % 12 in [0, 11], so the 4-row window always
+    fits (11 + 4 <= 16 with no clamp). Returns (row, k2, yoff, xoff).
+    """
+    qy = start_y // 12
+    yoff = start_y - 12 * qy
+    qx = start_x // 4
+    row = qy * 16 * xb + ((qx // 2) % 16) * xb + qx // 32
+    return row, qx % 2, yoff, start_x % 4
+
+
+def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
+    """u16-quantized, u32-packed window LUT: 16-row x 8-texel blocks at
+    y-stride 12 / x-stride 4, two per 128-lane i32 row.
+
+    Returns (lut (N, 128) i32, xb). Every 4x4 PCF window fits one block
+    (yoff <= 11, xoff <= 3), so one 512 B row gather serves each pixel —
+    same access pattern as build_window_lut but the table is 92 MB at
+    4000^2 instead of 268 MB, under the ~96 MB gather cliff (~5.5 vs
+    ~13.7 ns/row, tools/probe_u32pack). Depth quantization: round-to-
+    nearest u16 in [0, 1], dequantized as q * (1 / 65535) by the reader.
+    """
+    s = shadow_map.shape[0]
+    sp = s + 4
+    padded = jnp.pad(shadow_map, 2, mode="wrap")
+    xb = _round_up(-(-(sp + 3) // 128), 8)
+    qn_y = s // 12 + 1  # window start_y in [0, s]
+    jb_count = 8
+    sqg = -(-qn_y // (4 * jb_count))
+    total_steps = sqg * jb_count
+    yp = 48 * total_steps + 8
+    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 7 - sp)))
+    in2 = jnp.stack(
+        [padded2[:, 4 * sx : 4 * sx + xb * 128].reshape(yp, xb, 128) for sx in range(2)]
+    )
+
+    lut = pl.pallas_call(
+        functools.partial(_lut_kernel_q, xb=xb),
+        grid=(sqg, jb_count),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (2, 8, 128, 512), lambda *_: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4 * 16 * xb, 128), lambda q, jb: (q * jb_count + jb, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            # vma: replicated under shard_map, like build_window_lut.
+            (total_steps, 4 * 16 * xb, 128), jnp.int32, vma=frozenset()
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 56, xb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(in2, _select_mats_q())
+    return lut.reshape(-1, 128), xb
+
+
+def pcf_shadow(
+    shadow_map: Array,
+    light_space_pos: Array,
+    use_lut: bool | None = None,
+    quant: bool | None = None,
+) -> Array:
     """Fraction of occluded PCF taps in [0, 1] per pixel.
 
     shadow_map: (S, S) f32 depth from the sun pass (cleared to 1.0).
@@ -224,12 +403,18 @@ def pcf_shadow(shadow_map: Array, light_space_pos: Array, use_lut: bool | None =
     w = light_space_pos[..., 3]
     proj = light_space_pos[..., :3] / w[..., None]
     return pcf_shadow_proj(
-        shadow_map, proj[..., 0], proj[..., 1], proj[..., 2], use_lut=use_lut
+        shadow_map, proj[..., 0], proj[..., 1], proj[..., 2], use_lut=use_lut,
+        quant=quant,
     )
 
 
 def pcf_shadow_proj(
-    shadow_map: Array, x: Array, y: Array, z: Array, use_lut: bool | None = None
+    shadow_map: Array,
+    x: Array,
+    y: Array,
+    z: Array,
+    use_lut: bool | None = None,
+    quant: bool | None = None,
 ) -> Array:
     """pcf_shadow on already-divided NDC components (channel-first callers
     pass the three (..., S) planes directly; the sun is orthographic so the
@@ -259,7 +444,49 @@ def pcf_shadow_proj(
     # (pallas interpret mode is slow) — both are bit-identical (tested).
     if use_lut is None:
         use_lut = jax.default_backend() == "tpu"
-    if use_lut:
+    if quant is None:
+        quant = PCF_QUANT
+    if use_lut and quant:
+        lutq, xb = build_window_lut_q(shadow_map)
+        jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
+        jrow = jnp.where(outside, 0, jrow)
+        rowfull = lutq[jrow]  # (..., 128) i32: one block pair per gather
+        if PCF_FENCE == "rowfull":
+            rowfull = jax.lax.optimization_barrier(rowfull)
+        block = jnp.where(
+            (k2 == 1)[..., None], rowfull[..., 64:128], rowfull[..., 0:64]
+        )  # (..., 64): 16 block rows x 4 packed lanes
+        if PCF_FENCE == "block":
+            block = jax.lax.optimization_barrier(block)
+        # Coarse y: 8 consecutive block rows starting at 4 * (yoff // 4)
+        # always contain the window (yoff % 4 + 4 <= 8).
+        y4 = yoff >> 2  # in [0, 2]
+        r32 = block[..., 0:32]
+        for yy in (1, 2):
+            r32 = jnp.where(
+                (y4 == yy)[..., None], block[..., 16 * yy : 16 * yy + 32], r32
+            )
+        if PCF_FENCE == "r32":
+            r32 = jax.lax.optimization_barrier(r32)
+        # Fine y: window rows [yf, yf + 4) -> lanes [4 yf, 4 yf + 16).
+        yf = yoff & 3
+        r16 = r32[..., 0:16]
+        for yy in (1, 2, 3):
+            r16 = jnp.where((yf == yy)[..., None], r32[..., 4 * yy : 4 * yy + 16], r16)
+        # Unpack + dequantize: lane 4r + c holds texels (2c, 2c+1) of row r.
+        dq = jnp.float32(1.0 / 65535.0)
+        lo = (r16 & 0xFFFF).astype(jnp.float32) * dq
+        hi = jax.lax.shift_right_logical(r16, 16).astype(jnp.float32) * dq
+        rows = []
+        for r in range(4):
+            e = lo[..., 4 * r : 4 * r + 4]
+            o = hi[..., 4 * r : 4 * r + 4]
+            i8 = jnp.stack([e, o], axis=-1).reshape(e.shape[:-1] + (8,))
+            wr = i8[..., 0:4]
+            for xx in (1, 2, 3):
+                wr = jnp.where((xoff == xx)[..., None], i8[..., xx : xx + 4], wr)
+            rows.append(wr)  # each (..., 4)
+    elif use_lut:
         lutp, xb = build_window_lut(shadow_map)
         jrow, k2, yoff, xoff = window_row_index(start_y, start_x, xb)
         # Out-of-frustum pixels return 0 without reading the map — point
