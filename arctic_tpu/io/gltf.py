@@ -12,8 +12,8 @@ Reproduces the reference's import semantics (App::load_scene, app.cpp:173-385):
   stack walk (app.cpp:358-382)
 
 No external glTF library exists in this image; this is a from-scratch parser
-covering the subset the sample assets use (no skins, animations, sparse
-accessors, or Draco).
+covering the subset the sample assets use plus sparse accessors
+(§3.6.2.3); no skins, animations, or Draco.
 """
 
 from __future__ import annotations
@@ -87,28 +87,52 @@ def _load_uri(uri: str, base_dir: str) -> bytes:
         return f.read()
 
 
+def _read_view(
+    gltf: _Gltf, view_idx: int, byte_offset: int, n: int, ncomp: int, dtype
+) -> np.ndarray:
+    """Dense (n, ncomp) read from a bufferView (honors byteStride)."""
+    bv = gltf.doc["bufferViews"][view_idx]
+    buf = gltf.buffers[bv["buffer"]]
+    itemsize = np.dtype(dtype).itemsize
+    start = bv.get("byteOffset", 0) + byte_offset
+    stride = bv.get("byteStride", ncomp * itemsize)
+    if stride == ncomp * itemsize:
+        return np.frombuffer(buf, dtype, count=n * ncomp, offset=start).reshape(n, ncomp)
+    raw = np.frombuffer(buf, np.uint8, count=(n - 1) * stride + ncomp * itemsize, offset=start)
+    strided = np.lib.stride_tricks.as_strided(
+        raw, shape=(n, ncomp * itemsize), strides=(stride, 1)
+    )
+    return strided.copy().view(dtype).reshape(n, ncomp)
+
+
 def _accessor(gltf: _Gltf, idx: int) -> np.ndarray:
     acc = gltf.doc["accessors"][idx]
-    if "sparse" in acc:
-        raise NotImplementedError("sparse accessors not supported")
     n = acc["count"]
     ncomp = _TYPE_COUNT[acc["type"]]
     dtype = _COMPONENT_DTYPE[acc["componentType"]]
-    itemsize = np.dtype(dtype).itemsize
     if "bufferView" not in acc:
-        return np.zeros((n, ncomp), dtype)
-    bv = gltf.doc["bufferViews"][acc["bufferView"]]
-    buf = gltf.buffers[bv["buffer"]]
-    start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    stride = bv.get("byteStride", ncomp * itemsize)
-    if stride == ncomp * itemsize:
-        out = np.frombuffer(buf, dtype, count=n * ncomp, offset=start).reshape(n, ncomp)
+        out = np.zeros((n, ncomp), dtype)
     else:
-        raw = np.frombuffer(buf, np.uint8, count=(n - 1) * stride + ncomp * itemsize, offset=start)
-        strided = np.lib.stride_tricks.as_strided(
-            raw, shape=(n, ncomp * itemsize), strides=(stride, 1)
+        out = _read_view(gltf, acc["bufferView"], acc.get("byteOffset", 0), n, ncomp, dtype)
+    if "sparse" in acc:
+        # glTF 2.0 §3.6.2.3: base (zeros when no bufferView) with `count`
+        # elements substituted at `indices` from `values`.
+        sp = acc["sparse"]
+        sn = sp["count"]
+        sidx = _read_view(
+            gltf,
+            sp["indices"]["bufferView"],
+            sp["indices"].get("byteOffset", 0),
+            sn,
+            1,
+            _COMPONENT_DTYPE[sp["indices"]["componentType"]],
+        ).reshape(sn).astype(np.int64)
+        svals = _read_view(
+            gltf, sp["values"]["bufferView"], sp["values"].get("byteOffset", 0),
+            sn, ncomp, dtype,
         )
-        out = strided.copy().view(dtype).reshape(n, ncomp)
+        out = out.copy()
+        out[sidx] = svals
     if acc.get("normalized") and dtype in (np.uint8, np.uint16):
         out = out.astype(np.float32) / np.iinfo(dtype).max
     return out
