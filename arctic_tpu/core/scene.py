@@ -216,6 +216,10 @@ class TextureAtlas:
     # slot indices packed (e.g. (0, 1)); None disables the path.
     combined_quads: jnp.ndarray = None  # (4*BH*BW, 16*len(slots))
     combined_regions: jnp.ndarray = None  # (M, 4) i32 (y, x, h, w)
+    # Precomputed [pack_tex_rows(combined_quads); env quads_packed] gather
+    # table for the merged texture+environment tap (built once per scene in
+    # build_buffers; rebuilding per frame cost a 516 MB concatenate).
+    combined_env_rows: jnp.ndarray = None  # (ntex + n_env, 128)
     combined_shape: tuple = static_field(default=None)  # (AH, AW) of the atlas
     combined_slots: tuple = static_field(default=None)
 

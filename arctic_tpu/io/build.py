@@ -391,4 +391,14 @@ def build_buffers(
         regions=jnp.asarray(env_locs.reshape(1, 1, 4)),
     )
     env = Environment(data=jnp.asarray(env_np), atlas=env_atlas)
+    if combined:
+        from arctic_tpu.ops.sampling import pack_tex_rows
+
+        atlas = _dc.replace(
+            atlas,
+            combined_env_rows=jnp.concatenate(
+                [pack_tex_rows(atlas.combined_quads), env_atlas.quads_packed],
+                axis=0,
+            ),
+        )
     return SceneBuffers(geometry=geometry, atlas=atlas, environment=env)

@@ -437,6 +437,7 @@ def shade_gbuffer(
     config: RenderConfig,
     tiles_x: int,
     tile_row0=0,
+    vma: tuple = (),
 ) -> Array:
     """forward.hlsl ps_main over the fused kernel's G-buffer, CHANNEL-FIRST.
 
@@ -518,14 +519,15 @@ def shade_gbuffer(
         cq = atlas.combined_quads  # (Nq, C4)
         c4 = cq.shape[-1]
         per = 128 // c4  # tex quads per 128-lane row
-        nq_pad = -(-cq.shape[0] // per) * per
-        tex_rows = jnp.pad(cq, ((0, nq_pad - cq.shape[0]), (0, 0))).reshape(
-            nq_pad // per, per * c4
-        )
-        if per * c4 < 128:
-            tex_rows = jnp.pad(tex_rows, ((0, 0), (0, 128 - per * c4)))
-        ntex = tex_rows.shape[0]
-        merged = jnp.concatenate([tex_rows, env_atlas.quads_packed], axis=0)
+        if atlas.combined_env_rows is not None:  # precomputed at scene build
+            merged = atlas.combined_env_rows
+            ntex = merged.shape[0] - env_atlas.quads_packed.shape[0]
+        else:  # hand-built buffers: same construction, in-frame
+            from arctic_tpu.ops.sampling import pack_tex_rows
+
+            tex_rows = pack_tex_rows(cq)
+            ntex = tex_rows.shape[0]
+            merged = jnp.concatenate([tex_rows, env_atlas.quads_packed], axis=0)
         idx = jnp.where(covered, tq // per, ntex + eq // 8)
         row = merged[idx]  # (T, S, 128) — the one gather
         twin = row[..., 0:c4]
@@ -602,7 +604,7 @@ def shade_gbuffer(
     # Sun shadow term (the sun is orthographic so light-space w == 1; the
     # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
     shadow_f = shadow.pcf_shadow_proj(
-        shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :]
+        shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :], vma=vma
     )
     lit = (1.0 - shadow_f)[:, None, :]  # (T, 1, S)
 

@@ -248,6 +248,24 @@ def linear_to_srgb(c: Array) -> Array:
     return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
 
 
+def pack_tex_rows(combined_quads: Array) -> Array:
+    """(Nq, C4) combined-slot quad table -> (ceil(Nq/per), 128) gather rows,
+    per = 128 // C4 quads per row (zero-padded lanes when C4 ∤ 128).
+
+    Shared by pipeline.shade_gbuffer's merged texture+environment gather and
+    io.build.build_buffers, which precomputes the merged table once per scene
+    (rebuilding it per frame cost a 516 MB-traffic concatenate)."""
+    c4 = combined_quads.shape[-1]
+    per = 128 // c4
+    nq_pad = -(-combined_quads.shape[0] // per) * per
+    rows = jnp.pad(
+        combined_quads, ((0, nq_pad - combined_quads.shape[0]), (0, 0))
+    ).reshape(nq_pad // per, per * c4)
+    if per * c4 < 128:
+        rows = jnp.pad(rows, ((0, 0), (0, 128 - per * c4)))
+    return rows
+
+
 def quad_index(block_grid, ry, rx, rh, rw, u, v):
     """Shared index math of the quad samplers -> (q, fx, fy).
 

@@ -389,6 +389,68 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
     return lut.reshape(-1, 128), xb
 
 
+def _pcf_resolve_kernel(rows_ref, cand_ref, xoff_ref, out_ref):
+    """Window resolve for the quantized LUT: (bpx, 128) i32 gathered rows +
+    per-pixel candidate (64 k2 + 4 yoff lane offset, as index k2 * 12 + yoff)
+    and xoff -> the 16 dequantized window texels as (16, bpx) f32 planes.
+
+    In XLA this chain cost 11 ms/frame at 1080p: the gather result was
+    relayouted pixel-minor (3.28 ms copy), then a 24-candidate select fusion
+    read 1.5 KB/px of strided slices (4.47 ms).  Here the rows stay
+    lane-minor, one in-register transpose per block makes every candidate a
+    sublane slice, and only 64 B/px leaves the kernel (measured 5.0 ms for
+    2.09M px standalone, tools/probe_pcf_resolve)."""
+    x = rows_ref[...]  # (bpx, 128) i32
+    xt = jnp.swapaxes(x, 0, 1)  # (128, bpx): lanes -> sublanes
+    c = cand_ref[...]  # (1, bpx)
+    xo = xoff_ref[...]
+    r16 = xt[0:16, :]
+    for k in range(1, 24):
+        h, yy = divmod(k, 12)
+        o = 64 * h + 4 * yy
+        r16 = jnp.where(c == k, xt[o : o + 16, :], r16)
+    dq = jnp.float32(1.0 / 65535.0)
+    lo = (r16 & 0xFFFF).astype(jnp.float32) * dq  # texel 2c of row r, lane 4r+c
+    hi = jax.lax.shift_right_logical(r16, 16).astype(jnp.float32) * dq
+    podd = (xo & 1) == 1
+    q1 = (xo >> 1) == 1
+    # Texel xoff + j = 2 (q + (j + p) // 2) + ((j + p) & 1) with p = xoff & 1,
+    # q = xoff >> 1: even xoff reads plane j % 2 at 4r + q + j // 2, odd the
+    # OTHER plane at 4r + q + (j + 1) // 2 — sublane slices, no interleave.
+    for r in range(4):
+        for j in range(4):
+            a_pl, b_pl = ((lo, hi), (hi, lo))[j % 2]
+            ja, jb = j // 2, (j + 1) // 2
+            a = jnp.where(
+                q1, a_pl[4 * r + ja + 1 : 4 * r + ja + 2, :],
+                a_pl[4 * r + ja : 4 * r + ja + 1, :],
+            )
+            b = jnp.where(
+                q1, b_pl[4 * r + jb + 1 : 4 * r + jb + 2, :],
+                b_pl[4 * r + jb : 4 * r + jb + 1, :],
+            )
+            out_ref[4 * r + j : 4 * r + j + 1, :] = jnp.where(podd, b, a)
+
+
+def _pcf_resolve(rowfull, cand, xoff, vma=()):
+    """(P, 128) i32 rows + (P,) i32 cand/xoff -> (16, P) f32 texel planes."""
+    p = rowfull.shape[0]
+    bpx = min(4096, p)
+    assert p % bpx == 0
+    return pl.pallas_call(
+        _pcf_resolve_kernel,
+        grid=(p // bpx,),
+        in_specs=[
+            pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+            pl.BlockSpec((1, bpx), lambda i: (0, i)),
+            pl.BlockSpec((1, bpx), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((16, bpx), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, p), jnp.float32, vma=frozenset(vma)),
+        interpret=jax.default_backend() != "tpu",
+    )(rowfull, cand.reshape(1, p), xoff.reshape(1, p))
+
+
 def pcf_shadow(
     shadow_map: Array,
     light_space_pos: Array,
@@ -415,6 +477,7 @@ def pcf_shadow_proj(
     z: Array,
     use_lut: bool | None = None,
     quant: bool | None = None,
+    vma: tuple = (),
 ) -> Array:
     """pcf_shadow on already-divided NDC components (channel-first callers
     pass the three (..., S) planes directly; the sun is orthographic so the
@@ -450,42 +513,25 @@ def pcf_shadow_proj(
         lutq, xb = build_window_lut_q(shadow_map)
         jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
         jrow = jnp.where(outside, 0, jrow)
-        rowfull = lutq[jrow]  # (..., 128) i32: one block pair per gather
-        if PCF_FENCE == "rowfull":
-            rowfull = jax.lax.optimization_barrier(rowfull)
-        block = jnp.where(
-            (k2 == 1)[..., None], rowfull[..., 64:128], rowfull[..., 0:64]
-        )  # (..., 64): 16 block rows x 4 packed lanes
-        if PCF_FENCE == "block":
-            block = jax.lax.optimization_barrier(block)
-        # Coarse y: 8 consecutive block rows starting at 4 * (yoff // 4)
-        # always contain the window (yoff % 4 + 4 <= 8).
-        y4 = yoff >> 2  # in [0, 2]
-        r32 = block[..., 0:32]
-        for yy in (1, 2):
-            r32 = jnp.where(
-                (y4 == yy)[..., None], block[..., 16 * yy : 16 * yy + 32], r32
-            )
-        if PCF_FENCE == "r32":
-            r32 = jax.lax.optimization_barrier(r32)
-        # Fine y: window rows [yf, yf + 4) -> lanes [4 yf, 4 yf + 16).
-        yf = yoff & 3
-        r16 = r32[..., 0:16]
-        for yy in (1, 2, 3):
-            r16 = jnp.where((yf == yy)[..., None], r32[..., 4 * yy : 4 * yy + 16], r16)
-        # Unpack + dequantize: lane 4r + c holds texels (2c, 2c+1) of row r.
-        dq = jnp.float32(1.0 / 65535.0)
-        lo = (r16 & 0xFFFF).astype(jnp.float32) * dq
-        hi = jax.lax.shift_right_logical(r16, 16).astype(jnp.float32) * dq
-        rows = []
-        for r in range(4):
-            e = lo[..., 4 * r : 4 * r + 4]
-            o = hi[..., 4 * r : 4 * r + 4]
-            i8 = jnp.stack([e, o], axis=-1).reshape(e.shape[:-1] + (8,))
-            wr = i8[..., 0:4]
-            for xx in (1, 2, 3):
-                wr = jnp.where((xoff == xx)[..., None], i8[..., xx : xx + 4], wr)
-            rows.append(wr)  # each (..., 4)
+        # Flatten + pad to the kernel block, gather, resolve in a Pallas
+        # kernel (select + unpack + dequantize + pixel-minor transpose in
+        # VMEM — the XLA form paid 11 ms/frame in relayouts and strided
+        # slice reads, tools/probe_pcf_resolve).
+        shape = jrow.shape
+        pn = 1
+        for d in shape:
+            pn *= d
+        pad = -pn % 4096
+        cand = k2 * 12 + yoff
+        jrow_f = jnp.pad(jrow.reshape(-1), (0, pad))
+        cand_f = jnp.pad(cand.reshape(-1), (0, pad))
+        xoff_f = jnp.pad(xoff.reshape(-1), (0, pad))
+        rowfull = lutq[jrow_f]  # (P + pad, 128) i32, one row per window
+        out16 = _pcf_resolve(rowfull, cand_f, xoff_f, vma=vma)
+        rows = [
+            tuple(out16[4 * r + c, :pn].reshape(shape) for c in range(4))
+            for r in range(4)
+        ]
     elif use_lut:
         lutp, xb = build_window_lut(shadow_map)
         jrow, k2, yoff, xoff = window_row_index(start_y, start_x, xb)
@@ -511,17 +557,17 @@ def pcf_shadow_proj(
         # here makes the 4x smaller (..., 32) slice the layout boundary.
         if PCF_FENCE == "r32":
             r32 = jax.lax.optimization_barrier(r32)
-        # Window cols [xoff, xoff + 4) per row: 4-way selects of 4 lanes.
+        # Window cols [xoff, xoff + 4) per row: 4-way selects per texel
+        # plane (identical arithmetic to the old (..., 4) lane-slice form).
         rows = []
         for r in range(4):
-            wr = r32[..., 8 * r : 8 * r + 4]
-            for xx in range(1, 4):
-                wr = jnp.where(
-                    (xoff == xx)[..., None],
-                    r32[..., 8 * r + xx : 8 * r + xx + 4],
-                    wr,
-                )
-            rows.append(wr)  # each (..., 4)
+            cols = []
+            for c in range(4):
+                wc = r32[..., 8 * r + c]
+                for xx in range(1, 4):
+                    wc = jnp.where(xoff == xx, r32[..., 8 * r + xx + c], wc)
+                cols.append(wc)
+            rows.append(tuple(cols))
     else:
         padded = jnp.pad(shadow_map, 2, mode="wrap")
         sp = s + 4
@@ -538,7 +584,9 @@ def pcf_shadow_proj(
         yrow = start_y[..., None] + jnp.arange(4)  # (..., 4) window rows
         idx = (((yrow % 4) * 4 + sx_c[..., None]) * yq + yrow // 4) * xq + qx[..., None]
         window = runs[idx].reshape(start_y.shape + (16,))  # (..., 16) flat
-        rows = [window[..., 4 * r : 4 * r + 4] for r in range(4)]  # (..., 4)
+        rows = [
+            tuple(window[..., 4 * r + c] for c in range(4)) for r in range(4)
+        ]
 
     lx = tx - wx.astype(jnp.float32)  # local coords in the window, in [1, 2)
     ly = ty - wy.astype(jnp.float32)
@@ -548,13 +596,17 @@ def pcf_shadow_proj(
     # keeping the lerp arithmetic bit-identical to SampleLevel and avoiding
     # data-dependent gathers entirely.
 
+    # Rows are tuples of 4 pixel-minor texel planes (no small-minor arrays
+    # anywhere in the tap loop: a (..., 4) lane-slice form tile-pads 32x).
     def sel3(i, a, b, c):
-        return jnp.where((i == 0)[..., None], a, jnp.where((i == 1)[..., None], b, c))
+        return tuple(
+            jnp.where(i == 0, pa, jnp.where(i == 1, pb, pc))
+            for pa, pb, pc in zip(a, b, c)
+        )
 
     def col(row4, i, off):
-        cols = [row4[..., c] for c in range(4)]
         return jnp.where(
-            i == 0, cols[0 + off], jnp.where(i == 1, cols[1 + off], cols[2 + off])
+            i == 0, row4[0 + off], jnp.where(i == 1, row4[1 + off], row4[2 + off])
         )
 
     shadow = jnp.zeros_like(tx)

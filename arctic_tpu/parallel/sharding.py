@@ -158,7 +158,7 @@ def render_frame_sharded_stats(
         ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
         hdr = pipeline.shade_gbuffer(
             buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
-            tiles_x=config.tiles_x, tile_row0=d * cam_rows_dev,
+            tiles_x=config.tiles_x, tile_row0=d * cam_rows_dev, vma=vma,
         )
         if config.hdr_half_round:
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)

@@ -109,7 +109,10 @@ def test_pair_buffer_overflow_is_reported():
     bufs = _mini_scene(positions, indices)
 
     config = RenderConfig(
-        width=128, height=128, shadow_size=64, pairs_per_tri=1, pair_reserve=0
+        width=128, height=128, shadow_size=64, pairs_per_tri=1, pair_reserve=0,
+        # 16 camera tiles: the 64x64 default leaves this scene's 120 tris at
+        # 480 pairs — under the 1024 cap floor, so nothing would overflow.
+        tile_h=32, tile_w=32,
     )
     p = default_scene_params(aspect=1.0)
     p = dataclasses.replace(

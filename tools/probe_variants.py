@@ -113,6 +113,14 @@ def main():
         run("cam_32x64", dataclasses.replace(base, tile_h=32, tile_w=64), retune=True)
         run("cam_64x128", dataclasses.replace(base, tile_h=64, tile_w=128), retune=True)
         run("cam64_tps4", dataclasses.replace(t64, tiles_per_step=4), retune=True)
+    elif batch == "r3e":
+        # Quantized-LUT select-chain rewrite (one 24-way select to r16,
+        # plane-select unpack): fence placement re-sweep.
+        run("base_r16fence", base)
+        for fence in ("rowfull", "none"):
+            shadow.PCF_FENCE = fence
+            run(f"pcf_fence_{fence}", base)
+        shadow.PCF_FENCE = "r32"
     elif batch == "r3b":
         # Recorded: base 100.57, nofence_gbuf 100.76, assoc_scan 104.01,
         # pcf_fence rowfull/block/none 102.5/102.4/103.4 — defaults kept.
