@@ -104,6 +104,12 @@ class RenderConfig:
     # prefiltered mips either). Off by default: parity output has no IBL.
     ibl_specular: bool = False
 
+    # Ray-traced mode only (beyond reference): one any-hit shadow ray per
+    # point light per covered pixel, bounded at the light's distance. Off
+    # by default — matches the raster path's quirk of scaling point lights
+    # by the SUN shadow term only (forward.hlsl:222-230).
+    rt_light_shadows: bool = False
+
     # Print a device-side warning when the (tile, triangle) pair buffer
     # overflows (overflowing pairs are dropped -> missing fragments).
     debug_overflow: bool = False

@@ -100,7 +100,17 @@ def render_frame_rt(
         dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         radiance = lcol[None, None, :] / (dist * dist)[..., None]
-        return acc + lit * pbr.outgoing_radiance(
+        if config.rt_light_shadows:
+            # Beyond reference (opt-in): occlusion toward the light,
+            # bounded at its distance so geometry behind it cannot block.
+            locc = rt.trace(
+                bvh, shadow_org, wi.reshape(-1, 3),
+                t_max=(dist.reshape(-1) - 2e-3), any_hit=True,
+            )
+            lvis = jnp.where((locc.tri >= 0).reshape(h, w), 0.0, 1.0)[..., None]
+        else:
+            lvis = 1.0
+        return acc + lvis * lit * pbr.outgoing_radiance(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
 

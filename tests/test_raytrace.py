@@ -98,3 +98,35 @@ def test_rt_render_matches_raster_visibility():
     diff = np.abs(img_raster.astype(int) - img_rt.astype(int)).max(-1)
     assert (diff > 8).mean() < 0.04, f"{(diff > 8).mean():.3%} pixels differ"
     assert (diff <= 1).mean() > 0.85
+
+
+def test_rt_point_light_shadow_rays():
+    """Opt-in rt_light_shadows must only darken (monotone tonemap of a
+    smaller radiance) and must actually shadow somewhere."""
+    W, H = 96, 64
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = default_scene_params(aspect=W / H)
+    p = dataclasses.replace(
+        p,
+        camera=dataclasses.replace(
+            p.camera, eye=jnp.asarray([0.0, 4.0, 3.0]),
+            rotation=jnp.asarray([-25.0, -90.0]),
+        ),
+        sun=dataclasses.replace(p.sun, color=jnp.zeros(3)),
+        # A light low behind the tall box: much of the floor is occluded.
+        point_lights=PointLights.from_list([((0.0, 0.6, -2.5), (25.0, 25.0, 25.0))]),
+        ambient=jnp.float32(0.05),
+    )
+    s = default_settings()
+    bvh = raytrace.build_scene_bvh(bufs)
+    base = RenderConfig(width=W, height=H, shadow_size=96, force_bruteforce=True)
+    off = np.asarray(raytrace.render_frame_rt(bufs, bvh, p, s, base))
+    on = np.asarray(
+        raytrace.render_frame_rt(
+            bufs, bvh, p, s, dataclasses.replace(base, rt_light_shadows=True)
+        )
+    )
+    assert (on.astype(int) <= off.astype(int) + 1).all()
+    darker = (off.astype(int) - on.astype(int)).max(-1) > 8
+    assert darker.mean() > 0.005, f"only {darker.mean():.3%} pixels shadowed"
