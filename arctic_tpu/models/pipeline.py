@@ -44,8 +44,10 @@ from arctic_tpu.ops.sampling import (
 Array = jnp.ndarray
 
 # Materialization-fence knobs (tools/probe_variants.py measures them on
-# hardware; both True won the round-3 sweep — see docs/ROADMAP.md).
-FENCE_SHADE_ROWS = True
+# hardware). r3f sweep (post resolve-kernel): shade-rows fence off is
+# ~0.7 ms better (69.54 vs 70.26, consistent with r3a); gbuf fence off is
+# 2.5 ms WORSE (XLA re-fuses the select kernel's output consumer chain).
+FENCE_SHADE_ROWS = False
 FENCE_GBUF = True
 
 
@@ -503,7 +505,7 @@ def shade_gbuffer(
         # both, so the two 2M-row gathers collapse into one against a
         # concatenated [packed tex quads; packed env quads] table
         # (gathers are row-count-bound; round-3 profile: 4.9 + 5.5 ms).
-        from arctic_tpu.ops.sampling import lerp_quad, quad_index
+        from arctic_tpu.ops.sampling import quad_index
 
         u_sky, v_sky = sky.env_uv_cf(dx, dy, dz)
         tq, tfx, tfy = quad_index(
@@ -529,30 +531,42 @@ def shade_gbuffer(
             ntex = tex_rows.shape[0]
             merged = jnp.concatenate([tex_rows, env_atlas.quads_packed], axis=0)
         idx = jnp.where(covered, tq // per, ntex + eq // 8)
-        row = merged[idx]  # (T, S, 128) — the one gather
-        twin = row[..., 0:c4]
-        for kk in range(1, per):
-            twin = jnp.where(
-                (tq % per == kk)[..., None], row[..., c4 * kk : c4 * (kk + 1)], twin
-            )
-        twin = jax.lax.optimization_barrier(twin).astype(jnp.float32)
-        tex = lerp_quad(twin, tfx, tfy)  # (T, S, C) — same math as the
-        # separate samplers, so taps stay bit-identical (tests).
-        ewin = row[..., 0:16]
-        for kk in range(1, 8):
-            ewin = jnp.where(
-                (eq % 8 == kk)[..., None], row[..., 16 * kk : 16 * (kk + 1)], ewin
-            )
-        ewin = jax.lax.optimization_barrier(ewin).astype(jnp.float32)
-        esample = lerp_quad(ewin, efx, efy)  # (T, S, 4)
-        background = jnp.stack(
-            [esample[..., 0], esample[..., 1], esample[..., 2]], axis=1
+        # One row gather, then a Pallas kernel does the per-pixel quad
+        # select + bilinear lerp in VMEM (the XLA form relayouted the
+        # (P, 128) rows pixel-minor — 1.66 ms — and ran the slice selects
+        # as strided fusions; arithmetic is identical, tests pin it).
+        shape = idx.shape
+        pn = 1
+        for d in shape:
+            pn *= d
+        pad = -pn % 4096
+        row = merged[jnp.pad(idx.reshape(-1), (0, pad))]  # (P + pad, 128)
+        from arctic_tpu.ops.sampling import tap_resolve
+
+        out16 = tap_resolve(
+            row,
+            jnp.pad((tq % per).reshape(-1), (0, pad)),
+            jnp.pad((eq % 8).reshape(-1), (0, pad)),
+            jnp.pad(tfx.reshape(-1), (0, pad)),
+            jnp.pad(tfy.reshape(-1), (0, pad)),
+            jnp.pad(efx.reshape(-1), (0, pad)),
+            jnp.pad(efy.reshape(-1), (0, pad)),
+            c4=c4,
+            vma=vma,
         )
+        nch = c4 // 4
+        tex_pl = [out16[i, :pn].reshape(shape) for i in range(nch)]
+        es_pl = [out16[nch + i, :pn].reshape(shape) for i in range(3)]
+        background = jnp.stack(es_pl, axis=1)
         slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
-        base_color = ch3(tex, slot_base[0])
-        nm = ch3(tex, slot_base[1]) if 1 in slot_base else None
-        mr_g = tex[..., slot_base[2] + 1] if 2 in slot_base else None
-        mr_b = tex[..., slot_base[2] + 2] if 2 in slot_base else None
+
+        def ch3p(base):
+            return jnp.stack([tex_pl[base + i] for i in range(3)], axis=1)
+
+        base_color = ch3p(slot_base[0])
+        nm = ch3p(slot_base[1]) if 1 in slot_base else None
+        mr_g = tex_pl[slot_base[2] + 1] if 2 in slot_base else None
+        mr_b = tex_pl[slot_base[2] + 2] if 2 in slot_base else None
     elif atlas.combined_slots is not None:
         # All of this material's texture slots in ONE row gather.
         tex = sample_quads_flat(

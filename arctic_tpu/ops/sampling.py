@@ -248,6 +248,72 @@ def linear_to_srgb(c: Array) -> Array:
     return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
 
 
+def _tap_resolve_kernel(
+    rows_ref, tq_ref, eq_ref, tfx_ref, tfy_ref, efx_ref, efy_ref, out_ref,
+    *, c4: int,
+):
+    """Per-pixel quad select + bilinear lerp for the merged texture+
+    environment gather, in VMEM.
+
+    The XLA form relayouted the gathered (P, 128) bf16 rows pixel-minor
+    (1.66 ms/frame at 1080p) and ran the tq%per / eq%8 slice selects as
+    strided fusions (~1.6 ms more).  Here the rows stay lane-minor: one
+    in-register f32 transpose per block turns every quad candidate into a
+    sublane slice, and only the lerped channels (c4/4 + 4 planes) leave.
+    Arithmetic matches sample_quads_flat/_packed exactly (convert bf16->f32
+    commutes with the selects, the lerp order is identical)."""
+    per = 128 // c4
+    c = c4 // 4
+    x = rows_ref[...].astype(jnp.float32)  # (bpx, 128)
+    xt = jnp.swapaxes(x, 0, 1)  # (128, bpx)
+    tq = tq_ref[...]  # (1, bpx) i32 in [0, per)
+    twin = xt[0:c4, :]
+    for kk in range(1, per):
+        twin = jnp.where(tq == kk, xt[c4 * kk : c4 * (kk + 1), :], twin)
+    tfx = tfx_ref[...]
+    tfy = tfy_ref[...]
+    top = twin[0:c] + (twin[c : 2 * c] - twin[0:c]) * tfx
+    bot = twin[2 * c : 3 * c] + (twin[3 * c : 4 * c] - twin[2 * c : 3 * c]) * tfx
+    tex = top + (bot - top) * tfy  # (c, bpx)
+    eq = eq_ref[...]
+    ewin = xt[0:16, :]
+    for kk in range(1, 8):
+        ewin = jnp.where(eq == kk, xt[16 * kk : 16 * kk + 16, :], ewin)
+    efx = efx_ref[...]
+    efy = efy_ref[...]
+    etop = ewin[0:4] + (ewin[4:8] - ewin[0:4]) * efx
+    ebot = ewin[8:12] + (ewin[12:16] - ewin[8:12]) * efx
+    es = etop + (ebot - etop) * efy  # (4, bpx)
+    parts = [tex, es]
+    pad = 16 - (c + 4)
+    if pad:
+        parts.append(jnp.zeros((pad, x.shape[0]), jnp.float32))
+    out_ref[...] = jnp.concatenate(parts, axis=0)
+
+
+def tap_resolve(rows, tqk, eqk, tfx, tfy, efx, efy, c4: int, vma=()):
+    """(P, 128) gathered merged rows -> (16, P) f32: lanes [0, c4/4) the
+    lerped texture channels, [c4/4, c4/4+4) the lerped environment RGBA."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    p = rows.shape[0]
+    bpx = min(4096, p)
+    assert p % bpx == 0
+    args = [a.reshape(1, p) for a in (tqk, eqk, tfx, tfy, efx, efy)]
+    return pl.pallas_call(
+        functools.partial(_tap_resolve_kernel, c4=c4),
+        grid=(p // bpx,),
+        in_specs=[pl.BlockSpec((bpx, 128), lambda i: (i, 0))]
+        + [pl.BlockSpec((1, bpx), lambda i: (0, i))] * 6,
+        out_specs=pl.BlockSpec((16, bpx), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, p), jnp.float32, vma=frozenset(vma)),
+        interpret=jax.default_backend() != "tpu",
+    )(rows, *args)
+
+
 def pack_tex_rows(combined_quads: Array) -> Array:
     """(Nq, C4) combined-slot quad table -> (ceil(Nq/per), 128) gather rows,
     per = 128 // C4 quads per row (zero-padded lanes when C4 ∤ 128).

@@ -121,6 +121,13 @@ def main():
             shadow.PCF_FENCE = fence
             run(f"pcf_fence_{fence}", base)
         shadow.PCF_FENCE = "r32"
+    elif batch == "r3f":
+        # Post resolve-kernel: copy.989 (1.6 ms) is the gbuf fence's
+        # relayout; re-sweep fences at the new balance.
+        run("base", base)
+        run("nofence_gbuf", base, fence_gbuf=False)
+        run("nofence_rows", base, fence_rows=False)
+        run("nofence_both", base, fence_rows=False, fence_gbuf=False)
     elif batch == "r3b":
         # Recorded: base 100.57, nofence_gbuf 100.76, assoc_scan 104.01,
         # pcf_fence rowfull/block/none 102.5/102.4/103.4 — defaults kept.
