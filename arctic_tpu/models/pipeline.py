@@ -221,6 +221,7 @@ def build_shade_rows(
     sun_pv: Array,
     wc=None,
     lsp=None,
+    vma: tuple = (),
 ) -> Array:
     """Full 128-lane shade rows per slot for the fused select+interp kernel.
 
@@ -298,12 +299,24 @@ def build_shade_rows(
     comps.append(jnp.arange(p, dtype=jnp.float32))  # [124] raster slot id
     comps += [z] * 3
     assert len(comps) == 128
-    rows = jnp.stack(comps, axis=1)
-    # Match pack_raster_rows' padded row count so align_segments' dead-slot
-    # index is valid for this table too; padded rows get sid -2 (never match).
-    n_pad = (-(p + 1)) % 8 + 1
-    pad = jnp.zeros((n_pad, 128), jnp.float32).at[:, 9].set(-2.0)
-    return jnp.concatenate([rows, pad], axis=0)
+    # Rows past p are padding (>= 1 dead row at slot p); they carry sid -2
+    # (never matched by the select kernel) and zero planes (masked by the
+    # raster kernel's range checks). Padding to a 512 multiple lets the
+    # transpose-pack kernel tile the table evenly; an axis-1 stack would
+    # be built column-major by XLA and cost a separate 258 MB relayout
+    # copy + pad before the row gather / kernel DMA could run (2.7 ms
+    # profiled) — the axis-0 stack is row-major for free and
+    # transpose_pack_rows does the rest at streaming bandwidth.
+    from arctic_tpu.ops.raster_tiles import transpose_pack_rows
+
+    n_total = -(-(p + 1) // 512) * 512
+    n_pad = n_total - p
+
+    def padc(a, fill=0.0):
+        return jnp.pad(a, (0, n_pad), constant_values=fill)
+
+    comps = [padc(a, -2.0 if i == 9 else 0.0) for i, a in enumerate(comps)]
+    return transpose_pack_rows(jnp.stack(comps, axis=0), vma=vma)
 
 
 def shade(

@@ -219,6 +219,27 @@ def bin_triangles(
     return BinnedPairs(sorted_slot=sorted_slot, tile_start=tile_start, total_pairs=total)
 
 
+def raster_row_comps(setup: TriSetup):
+    """The 16 dense (P' + pad,) component planes of pack_raster_rows,
+    padded with dead rows (zero planes, masked by the kernel's range
+    checks) to a multiple of 8 past the one dead slot at row P'.
+
+    Feeds raster_tiles.pack_raster_rows_packed, which writes the packed
+    (rows/8, 128) gather table directly (no column-major intermediate)."""
+    p = setup.capacity
+    assert p < (1 << 24), "slot ids must be exactly representable in f32"
+    comps = [c for e in setup.edges for c in e]  # A0 B0 C0 A1 ... C2
+    comps += list(setup.zplane)
+    comps.append(jnp.arange(p, dtype=jnp.float32))
+    z = jnp.zeros((p,), jnp.float32)
+    comps += [z, z, z]
+    # Pad slots to a 4096 multiple so the packed table has a 512-multiple
+    # row count (the transpose-pack kernel's block size); covers the one
+    # dead slot at row P'. Extra dead rows cost 64 B each.
+    n_pad = -(p + 1) % 4096 + 1
+    return [jnp.pad(c, (0, n_pad)) for c in comps], p + n_pad
+
+
 def pack_raster_rows(setup: TriSetup) -> Array:
     """Per-slot kernel rows (P + pad, 16) f32, with one trailing dead row.
 

@@ -37,6 +37,128 @@ def _round_up_8(x: int) -> int:
     return (x + 7) // 8 * 8
 
 
+def _phase_resolve_kernel(g_ref, ph_ref, out_ref):
+    """Re-pack full gathered rows into the 16-lane pair stream.
+
+    The raster-row table is only FAST to gather as dense 128-lane rows
+    (8 slots x 16 comps per row): tools/probe_rowgather.py measured the
+    narrow (P, 16) table at 12-24 ns/row in EVERY layout (XLA stores the
+    in-graph stack column-major and each row touches two (8,128) tiles;
+    even a row-major input table pays the 8x lane padding), vs ~6 ns/row
+    for packed[idx // 8] full rows. This kernel resolves the slot-in-row
+    phase (idx % 8): transpose the gathered block in-register, 8-way
+    select on STATIC sublane slices, transpose back, and write 8 pairs
+    per 128-lane output row — the exact stream layout the raster kernel's
+    unroll-8 loop reads at static lane offsets. Pure f32 moves: the
+    selected values are bit-identical to table[idx] (ibuf exactness)."""
+    x = g_ref[...]  # (bpx, 128) f32 gathered group rows
+    xt = jnp.swapaxes(x, 0, 1)  # (128, bpx)
+    ph = ph_ref[...]  # (1, bpx) i32 in [0, 8)
+    y = xt[0:16, :]
+    for b in range(1, 8):
+        y = jnp.where(ph == b, xt[16 * b : 16 * b + 16, :], y)  # (16, bpx)
+    z = jnp.concatenate([y, jnp.zeros((112, x.shape[0]), jnp.float32)], axis=0)
+    zt = jnp.swapaxes(z, 0, 1)  # (bpx, 128); comps at lanes [0:16)
+    z3 = zt.reshape(zt.shape[0] // 8, 8, 128)
+    for u in range(8):
+        out_ref[:, 16 * u : 16 * (u + 1)] = z3[:, u, 0:16]
+
+
+def _pack16_kernel(x_ref, out_ref):
+    x = x_ref[...]  # (16, 8 * bpx) comp-major slot attributes
+    z = jnp.concatenate([x, jnp.zeros((112, x.shape[1]), jnp.float32)], axis=0)
+    zt = jnp.swapaxes(z, 0, 1)  # (8 * bpx, 128); comp j of slot s at [s, j]
+    z3 = zt.reshape(zt.shape[0] // 8, 8, 128)
+    for u in range(8):
+        out_ref[:, 16 * u : 16 * (u + 1)] = z3[:, u, 0:16]
+
+
+def pack_raster_rows_packed(comps, p: int, vma: tuple = ()) -> Array:
+    """16 dense (P',) slot comps -> (P'/8, 128) packed table,
+    row q lane 16u+j = comps[j][8q+u] (8 slots' 16-float rows per row).
+
+    Built by one Pallas interleave kernel over the plain (16, P') axis-0
+    stack (component math fuses into the stack; the stack is row-major for
+    free). Inside the kernel: pad to 128 sublanes, one in-register
+    transpose, then 8 static sublane/lane slice writes. Do NOT build this
+    with XLA stride-8 slices (comps[j][u::8]) — XLA lowers each 1D strided
+    slice as a 63k-row GATHER (~0.55 ms x 128 slices, measured r3i); and
+    the (P,16) stack + reshape path pays a relayout copy + the narrow-
+    table gather penalty downstream."""
+    assert len(comps) == 16 and p % 8 == 0
+    assert (p // 8) % 512 == 0, p  # raster_row_comps pads to 4096 slots
+    bpx = 512
+    stacked = jnp.stack(comps, axis=0)  # (16, P')
+    return pl.pallas_call(
+        _pack16_kernel,
+        grid=(p // (8 * bpx),),
+        in_specs=[pl.BlockSpec((16, 8 * bpx), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (p // 8, 128), jnp.float32, vma=frozenset(vma)
+        ),
+        interpret=_interpret(),
+    )(stacked)
+
+
+def gather_pair_rows16(packed: Array, idx: Array, vma: tuple = ()) -> Array:
+    """(P'/8, 128) packed slot table + (N,) pair slots -> (N/8, 128)
+    pair-packed rows.
+
+    Equivalent to ``table16[idx].reshape(-1, 128)`` but ~2x faster on TPU:
+    one full-row gather from the dense packed view + the phase-resolve
+    kernel (see _phase_resolve_kernel). N must be a multiple of 8; the
+    block size pads internally."""
+    assert packed.shape[1] == 128
+    n = idx.shape[0]
+    bpx = 2048
+    npad = -n % bpx
+    if npad:
+        idx = jnp.pad(idx, (0, npad))
+    g = packed[idx // 8]
+    out = pl.pallas_call(
+        _phase_resolve_kernel,
+        grid=((n + npad) // bpx,),
+        in_specs=[
+            pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+            pl.BlockSpec((1, bpx), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((bpx // 8, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            ((n + npad) // 8, 128), jnp.float32, vma=frozenset(vma)
+        ),
+        interpret=_interpret(),
+    )(g, (idx % 8).reshape(1, n + npad))
+    return out[: n // 8]
+
+
+def _transpose_pack_kernel(x_ref, out_ref):
+    out_ref[...] = jnp.swapaxes(x_ref[...], 0, 1)
+
+
+def transpose_pack_rows(stacked: Array, bpx: int = 512, vma: tuple = ()) -> Array:
+    """(128, N) component-major stack -> (N, 128) row-major table.
+
+    XLA builds an axis-1 stack of (N,) component planes COLUMN-major (the
+    concat is then free) and pays a separate 258 MB relayout copy + pad
+    before the row gather / kernel DMA can consume it (profiled 2.7 ms for
+    the shade-row table). An axis-0 stack is row-major for free (component
+    math still fuses into the concat), and this kernel does the transpose
+    at streaming bandwidth with one in-register swap per block."""
+    n = stacked.shape[1]
+    assert stacked.shape[0] == 128 and n % bpx == 0, stacked.shape
+    return pl.pallas_call(
+        _transpose_pack_kernel,
+        grid=(n // bpx,),
+        in_specs=[pl.BlockSpec((128, bpx), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, 128), jnp.float32, vma=frozenset(vma)
+        ),
+        interpret=_interpret(),
+    )(stacked)
+
+
 def _raster_kernel(
     # scalar prefetch
     seg_start_ref,
@@ -507,9 +629,12 @@ def bin_and_rasterize(
     if full_rows:
         rows = shade_rows[idx]  # (pair_cap + tail, 128) streaming order
     else:
-        table = binning.pack_raster_rows(setup)  # (P', 16), P' % 8 == 0
-        # Pack 8 logical 16-f32 rows per 128-lane row for full-lane DMA.
-        rows = table[idx].reshape(-1, 128)
+        comps, p_total = binning.raster_row_comps(setup)
+        # Pack 8 logical 16-f32 rows per 128-lane row for full-lane DMA —
+        # packed-table build + full-row gather + phase-resolve kernel (the
+        # direct (P,16) table[idx] gather pays 12-24 ns/row in any layout).
+        packed = pack_raster_rows_packed(comps, p_total, vma=vma)
+        rows = gather_pair_rows16(packed, idx, vma=vma)
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
     # Batch tiles per grid step to amortize per-step sequencing overhead

@@ -148,7 +148,8 @@ def render_frame_sharded_stats(
         )
         setup = raster.setup_screen_triangles(clipped, w, h, cull="back")
         shade_rows = pipeline.build_shade_rows(
-            setup, geom, sun_pv, wc=wc, lsp=tuple(c[:3] for c in sun_clip)
+            setup, geom, sun_pv, wc=wc, lsp=tuple(c[:3] for c in sun_clip),
+            vma=vma,
         )
         shade_rows = jax.lax.optimization_barrier(shade_rows)
         ibuf_tiles, gbuf, cam_pairs = raster_tiles.raster_gbuffer(
