@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ibl", action="store_true",
         help="opt-in IBL specular term (the reference's unticked roadmap item)",
     )
+    r.add_argument(
+        "--spot", action="append", default=[], metavar="X,Y,Z,R,G,B,AX,AY,AZ,IN,OUT",
+        help="add a spotlight: position, color, axis, inner/outer cone degrees "
+        "(opt-in; reference roadmap item). Repeatable.",
+    )
     r.add_argument("--load-state", help="load camera/lights/settings JSON")
     r.add_argument("--save-state", help="write camera/lights/settings JSON after rendering")
     r.add_argument("--debug-checks", action="store_true", help="enable NaN/Inf checking")
@@ -137,6 +142,22 @@ def cmd_render(args) -> int:
                 rotation=jnp.asarray(vals[3:5], jnp.float32),
             ),
         )
+    if args.spot:
+        from arctic_tpu.core.scene import PointLights
+
+        pl = params.point_lights
+        rows = [
+            ((pl.position[i]), (pl.color[i]))
+            for i in range(int(pl.count))
+        ]
+        for s in args.spot:
+            v = [float(x) for x in s.split(",")]
+            assert len(v) == 11, "--spot wants X,Y,Z,R,G,B,AX,AY,AZ,IN,OUT"
+            rows.append((v[0:3], v[3:6], (v[6:9], v[9], v[10])))
+        params = dataclasses.replace(
+            params, point_lights=PointLights.from_list(rows, spots=True)
+        )
+        config = dataclasses.replace(config, spotlights=True)
     settings = dataclasses.replace(
         default_settings(),
         tm_method=jnp.int32(TM_NAMES[args.tm]),

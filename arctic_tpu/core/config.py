@@ -104,6 +104,13 @@ class RenderConfig:
     # prefiltered mips either). Off by default: parity output has no IBL.
     ibl_specular: bool = False
 
+    # Opt-in spotlights (reference README.md roadmap item, unticked there):
+    # light rows gain a cone — radiance is scaled by clamp((cosθ -
+    # outer_cos) * inv_range, 0, 1) around PointLights.spot_dir. Point rows
+    # store (outer_cos, inv_range) = (-2, 1) so the factor is exactly 1.0.
+    # Off by default: the parity program carries no cone math at all.
+    spotlights: bool = False
+
     # Ray-traced mode only (beyond reference): one any-hit shadow ray per
     # point light per covered pixel, bounded at the light's distance. Off
     # by default — matches the raster path's quirk of scaling point lights

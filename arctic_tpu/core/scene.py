@@ -91,20 +91,51 @@ class PointLights:
 
     ``count`` is a traced int32 so adding/removing lights (app.cpp:495-523)
     does not recompile; inactive rows are masked in the shader.
+
+    Spotlights (reference README.md roadmap item, unticked there — our
+    definition): rows may optionally carry a cone.  ``spot_dir`` is the
+    normalized axis and ``spot_cos`` packs (outer_cos, 1/(inner_cos -
+    outer_cos)); the shading factor is clamp((cos θ - outer) * inv_range,
+    0, 1) — a smooth inner→outer falloff.  Point rows store (-2, 1) so the
+    factor clamps to exactly 1.0.  Both fields are None unless built with
+    cones (and config.spotlights gates the extra math statically), so the
+    parity path's pytree and XLA program are unchanged.
     """
 
     position: jnp.ndarray  # (16, 3) f32
     color: jnp.ndarray  # (16, 3) f32
     count: jnp.ndarray  # i32 scalar
+    spot_dir: jnp.ndarray | None = None  # (16, 3) f32 normalized axis
+    spot_cos: jnp.ndarray | None = None  # (16, 2) f32 (outer_cos, inv_range)
 
     @staticmethod
-    def from_list(lights: list[tuple]) -> "PointLights":
+    def from_list(lights: list[tuple], spots: bool = False) -> "PointLights":
+        """lights: (pos, col) point rows or (pos, col, (axis, inner_deg,
+        outer_deg)) spotlight rows.  ``spots`` forces cone fields even for
+        all-point banks (needed when the renderer was built with
+        config.spotlights=True)."""
         n = min(len(lights), MAX_POINT_LIGHTS)
         pos = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
         col = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
+        sdir = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
+        sdir[:, 1] = -1.0
+        scos = np.tile(np.asarray([-2.0, 1.0], np.float32), (MAX_POINT_LIGHTS, 1))
+        any_spot = spots
         for i in range(n):
-            pos[i], col[i] = lights[i]
-        return PointLights(jnp.asarray(pos), jnp.asarray(col), jnp.int32(n))
+            pos[i], col[i] = lights[i][0], lights[i][1]
+            if len(lights[i]) > 2 and lights[i][2] is not None:
+                axis, inner_deg, outer_deg = lights[i][2]
+                axis = np.asarray(axis, np.float32)
+                sdir[i] = axis / max(np.linalg.norm(axis), 1e-12)
+                inner_c = np.cos(np.radians(inner_deg))
+                outer_c = np.cos(np.radians(outer_deg))
+                scos[i] = (outer_c, 1.0 / max(inner_c - outer_c, 1e-4))
+                any_spot = True
+        return PointLights(
+            jnp.asarray(pos), jnp.asarray(col), jnp.int32(n),
+            spot_dir=jnp.asarray(sdir) if any_spot else None,
+            spot_cos=jnp.asarray(scos) if any_spot else None,
+        )
 
 
 @_pytree_dataclass

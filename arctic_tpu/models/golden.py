@@ -305,11 +305,26 @@ def render(
     wo /= np.maximum(np.linalg.norm(wo, axis=-1, keepdims=True), 1e-20)
     sun_dir = _dir_from_rot(sun["rotation"])
     lo = lit * _radiance(n, wo, -sun_dir, np.asarray(sun["color"]), base_color, metal, rough)
-    for lpos, lcol in point_lights:
+    for light in point_lights:
+        lpos, lcol = light[0], light[1]
         ldir = np.asarray(lpos) - wp
         dist = np.maximum(np.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         rad = np.asarray(lcol) / (dist * dist)[..., None]
+        if len(light) > 2 and light[2] is not None:
+            # Spotlight cone (opt-in; core/scene.py packing semantics):
+            # (axis, inner_deg, outer_deg) -> clamp((cosθ - outer)/(inner
+            # - outer), 0, 1) on the light-to-fragment angle.
+            axis, inner_deg, outer_deg = light[2]
+            axis = np.asarray(axis, np.float64)
+            axis /= max(np.linalg.norm(axis), 1e-12)
+            inner_c = np.cos(np.radians(inner_deg))
+            outer_c = np.cos(np.radians(outer_deg))
+            cos_t = -np.sum(wi * axis, axis=-1)
+            fac = np.clip(
+                (cos_t - outer_c) / max(inner_c - outer_c, 1e-4), 0.0, 1.0
+            )
+            rad = rad * fac[..., None]
         lo += lit * _radiance(n, wo, wi, rad, base_color, metal, rough)
     color = lo + ambient * base_color
 

@@ -414,6 +414,15 @@ def shade(
         dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         radiance = lcol[None, None, :] / (dist * dist)[..., None]
+        if config.spotlights:
+            # Opt-in cone falloff (see core/config.py): -wi is the
+            # light-to-fragment direction; point rows clamp to 1.0.
+            sd = params.point_lights.spot_dir[i]
+            outer, inv_rng = params.point_lights.spot_cos[i]
+            cos_t = -jnp.sum(wi * sd[None, None, :], axis=-1)
+            radiance = radiance * jnp.clip(
+                (cos_t - outer) * inv_rng, 0.0, 1.0
+            )[..., None]
         return acc + lit * pbr.outgoing_radiance(
             n, wo, wi, radiance, base_color, metalness, roughness
         )
@@ -653,6 +662,12 @@ def shade_gbuffer(
         )
         wi = ldir / dist
         radiance = lcol[None, :, None] / (dist * dist)
+        if config.spotlights:
+            # Opt-in cone falloff, channel-first twin of shade()'s form.
+            sd = params.point_lights.spot_dir[i]
+            outer, inv_rng = params.point_lights.spot_cos[i]
+            cos_t = -jnp.sum(wi * sd[None, :, None], axis=1, keepdims=True)
+            radiance = radiance * jnp.clip((cos_t - outer) * inv_rng, 0.0, 1.0)
         return acc + lit * pbr.outgoing_radiance_cf(
             n, wo, wi, radiance, base_color, metalness, roughness
         )

@@ -100,6 +100,14 @@ def render_frame_rt(
         dist = jnp.maximum(jnp.linalg.norm(ldir, axis=-1), 1e-12)
         wi = ldir / dist[..., None]
         radiance = lcol[None, None, :] / (dist * dist)[..., None]
+        if config.spotlights:
+            # Opt-in cone falloff — same packing as the raster paths.
+            sd = params.point_lights.spot_dir[i]
+            outer, inv_rng = params.point_lights.spot_cos[i]
+            cos_t = -jnp.sum(wi * sd[None, None, :], axis=-1)
+            radiance = radiance * jnp.clip(
+                (cos_t - outer) * inv_rng, 0.0, 1.0
+            )[..., None]
         if config.rt_light_shadows:
             # Beyond reference (opt-in): occlusion toward the light,
             # bounded at its distance so geometry behind it cannot block.

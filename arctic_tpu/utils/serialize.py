@@ -44,6 +44,20 @@ def params_to_dict(params: SceneParams, settings: Settings) -> dict:
             {
                 "position": np.asarray(params.point_lights.position[i]).tolist(),
                 "color": np.asarray(params.point_lights.color[i]).tolist(),
+                # Raw cone packing (outer_cos, inv_range) + axis; absent for
+                # plain point banks (spot_dir is None then).
+                **(
+                    {
+                        "spot_dir": np.asarray(
+                            params.point_lights.spot_dir[i]
+                        ).tolist(),
+                        "spot_cos": np.asarray(
+                            params.point_lights.spot_cos[i]
+                        ).tolist(),
+                    }
+                    if params.point_lights.spot_dir is not None
+                    else {}
+                ),
             }
             for i in range(n)
         ],
@@ -71,9 +85,22 @@ def params_from_dict(d: dict) -> tuple[SceneParams, Settings]:
         rotation=jnp.asarray(s["rotation"], jnp.float32),
         color=jnp.asarray(s["color"], jnp.float32),
     )
-    lights = PointLights.from_list(
-        [(pl["position"], pl["color"]) for pl in d.get("point_lights", [])]
-    )
+    pls = d.get("point_lights", [])
+    lights = PointLights.from_list([(pl["position"], pl["color"]) for pl in pls])
+    if any("spot_dir" in pl for pl in pls):
+        # Rebuild the raw cone packing verbatim (round-trip exact).
+        from arctic_tpu.core.scene import MAX_POINT_LIGHTS
+
+        sdir = np.zeros((MAX_POINT_LIGHTS, 3), np.float32)
+        sdir[:, 1] = -1.0
+        scos = np.tile(np.asarray([-2.0, 1.0], np.float32), (MAX_POINT_LIGHTS, 1))
+        for i, pl in enumerate(pls[:MAX_POINT_LIGHTS]):
+            if "spot_dir" in pl:
+                sdir[i] = pl["spot_dir"]
+                scos[i] = pl["spot_cos"]
+        lights = dataclasses.replace(
+            lights, spot_dir=jnp.asarray(sdir), spot_cos=jnp.asarray(scos)
+        )
     params = SceneParams(
         camera=camera,
         ambient=jnp.float32(d.get("ambient", 0.1)),
