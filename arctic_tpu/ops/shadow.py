@@ -283,30 +283,35 @@ def _lut_kernel_q(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
     for sx in range(2):
         per_h = []
         for h in range(2):
-            accs = []
-            for eo in range(2):
-                acc = jnp.zeros((4 * xb, 512), jnp.float32)
-                for r in range(8):
-                    x = jnp.concatenate(
-                        [slab[slot, sx, 12 * jj + 8 * h + r] for jj in range(4)],
-                        axis=0,
-                    )  # (4 * xb, 128)
-                    # Same exact 3-way bf16 split as _lut_kernel.
-                    hi = x.astype(jnp.bfloat16)
-                    r1 = x - hi.astype(jnp.float32)
-                    mid = r1.astype(jnp.bfloat16)
-                    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            # Quantize BEFORE the scatter matmul: the output is u16 anyway,
+            # and a u16 integer splits exactly into two 8-bit bf16 halves —
+            # 2 MXU passes per (eo, r) instead of the 3-way f32 mantissa
+            # split (floor(clip(x*65535+0.5)) here == the old post-matmul
+            # clip+truncate on the exact scattered f32, bit-identical).
+            accs = [
+                [jnp.zeros((4 * xb, 512), jnp.float32) for _ in range(2)]
+                for _ in range(2)
+            ]  # accs[eo][part]
+            for r in range(8):
+                x = jnp.concatenate(
+                    [slab[slot, sx, 12 * jj + 8 * h + r] for jj in range(4)],
+                    axis=0,
+                )  # (4 * xb, 128)
+                xq = jnp.floor(jnp.clip(x * 65535.0 + 0.5, 0.0, 65535.0))
+                hi8 = jnp.floor(xq * (1.0 / 256.0))  # exact: /2^8 on ints
+                lo8 = xq - hi8 * 256.0
+                parts = (hi8.astype(jnp.bfloat16), lo8.astype(jnp.bfloat16))
+                for eo in range(2):
                     smat_bf16 = smat_ref[eo, r].astype(jnp.bfloat16)
-                    for part in (hi, mid, lo):
-                        acc = acc + jax.lax.dot_general(
-                            part,
+                    for pi in range(2):
+                        accs[eo][pi] = accs[eo][pi] + jax.lax.dot_general(
+                            parts[pi],
                             smat_bf16,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                accs.append(acc)
-            q_e = jnp.clip(accs[0] * 65535.0 + 0.5, 0.0, 65535.0).astype(jnp.int32)
-            q_o = jnp.clip(accs[1] * 65535.0 + 0.5, 0.0, 65535.0).astype(jnp.int32)
+            q_e = (accs[0][0] * 256.0 + accs[0][1]).astype(jnp.int32)
+            q_o = (accs[1][0] * 256.0 + accs[1][1]).astype(jnp.int32)
             per_h.append(q_e | (q_o << 16))
         packed.append(per_h)
 
@@ -432,6 +437,116 @@ def _pcf_resolve_kernel(rows_ref, cand_ref, xoff_ref, out_ref):
             out_ref[4 * r + j : 4 * r + j + 1, :] = jnp.where(podd, b, a)
 
 
+def _pcf_eval_kernel(
+    rows_ref, k2_ref, yoff_ref, xoff_ref, z_ref, lx_ref, ly_ref, out_ref,
+    *, step: float,
+):
+    """Window resolve + full 25-tap PCF evaluation in one kernel.
+
+    Extends _pcf_resolve_kernel: instead of emitting the 16 window texel
+    planes (64 B/px written + re-read by the XLA tap loop), the tap loop
+    runs right here on the in-register planes and only the 4 B/px shadow
+    fraction leaves. The candidate select is a (k2, yoff>>2, yoff&3) tree
+    (1x64 + 2x28 + 3x16 sublane-rows of selects vs the 23x16 linear chain).
+    Arithmetic is identical to pcf_shadow_proj's XLA tap loop — op order,
+    select semantics, and f32 rounding all match (pinned by
+    test_pcf_quant_paths_bit_identical via the shared outer code)."""
+    x = rows_ref[...]  # (bpx, 128) i32
+    xt = jnp.swapaxes(x, 0, 1)  # (128, bpx): lanes -> sublanes
+    k2 = k2_ref[...]  # (1, bpx)
+    yoff = yoff_ref[...]
+    xo = xoff_ref[...]
+    xh = jnp.where(k2 == 1, xt[64:128, :], xt[0:64, :])  # (64, bpx)
+    a = yoff >> 2
+    b = yoff & 3
+    za = jnp.where(
+        a == 0, xh[0:28, :], jnp.where(a == 1, xh[16:44, :], xh[32:60, :])
+    )  # (28, bpx)
+    r16 = jnp.where(
+        b == 0,
+        za[0:16, :],
+        jnp.where(b == 1, za[4:20, :], jnp.where(b == 2, za[8:24, :], za[12:28, :])),
+    )  # (16, bpx): window row r texel pair c at sublane 4r + c
+    dq = jnp.float32(1.0 / 65535.0)
+    lo = (r16 & 0xFFFF).astype(jnp.float32) * dq
+    hi = jax.lax.shift_right_logical(r16, 16).astype(jnp.float32) * dq
+    podd = (xo & 1) == 1
+    q1 = (xo >> 1) == 1
+    rows = []  # 4 rows x 4 cols of (1, bpx) f32 texel planes
+    for r in range(4):
+        cols = []
+        for j in range(4):
+            a_pl, b_pl = ((lo, hi), (hi, lo))[j % 2]
+            ja, jb = j // 2, (j + 1) // 2
+            av = jnp.where(
+                q1, a_pl[4 * r + ja + 1 : 4 * r + ja + 2, :],
+                a_pl[4 * r + ja : 4 * r + ja + 1, :],
+            )
+            bv = jnp.where(
+                q1, b_pl[4 * r + jb + 1 : 4 * r + jb + 2, :],
+                b_pl[4 * r + jb : 4 * r + jb + 1, :],
+            )
+            cols.append(jnp.where(podd, bv, av))
+        rows.append(tuple(cols))
+
+    z = z_ref[...]
+    lx = lx_ref[...]
+    ly = ly_ref[...]
+
+    def sel3(i, aa, bb, cc):
+        return tuple(
+            jnp.where(i == 0, pa, jnp.where(i == 1, pb, pc))
+            for pa, pb, pc in zip(aa, bb, cc)
+        )
+
+    def col(row4, i, off):
+        return jnp.where(
+            i == 0, row4[0 + off], jnp.where(i == 1, row4[1 + off], row4[2 + off])
+        )
+
+    shadow = jnp.zeros_like(lx)
+    for j in range(-2, 3):
+        sy = ly + j * step
+        iy = jnp.floor(sy).astype(jnp.int32)
+        fy = sy - iy
+        row0 = sel3(iy, rows[0], rows[1], rows[2])
+        row1 = sel3(iy, rows[1], rows[2], rows[3])
+        for i in range(-2, 3):
+            sx = lx + i * step
+            ix = jnp.floor(sx).astype(jnp.int32)
+            fx = sx - ix
+            c00 = col(row0, ix, 0)
+            c10 = col(row0, ix, 1)
+            c01 = col(row1, ix, 0)
+            c11 = col(row1, ix, 1)
+            top = c00 + (c10 - c00) * fx
+            bot = c01 + (c11 - c01) * fx
+            closest = top + (bot - top) * fy
+            shadow = shadow + jnp.where(z > closest, 1.0, 0.0)
+    # Emit the RAW tap count: the /25 happens in XLA outside the kernel so
+    # both PCF paths get the identical division lowering (a jit-compiled
+    # divide-by-constant becomes reciprocal-multiply, the eager reference
+    # path's does not — dividing in-kernel broke bit-identity by 1 ulp).
+    out_ref[...] = shadow
+
+
+def _pcf_eval(rowfull, k2, yoff, xoff, z, lx, ly, step: float, vma=()):
+    """(P, 128) i32 rows + per-pixel window/tap scalars -> (1, P) f32 PCF."""
+    p = rowfull.shape[0]
+    bpx = min(4096, p)
+    assert p % bpx == 0
+    args = [a.reshape(1, p) for a in (k2, yoff, xoff, z, lx, ly)]
+    return pl.pallas_call(
+        functools.partial(_pcf_eval_kernel, step=step),
+        grid=(p // bpx,),
+        in_specs=[pl.BlockSpec((bpx, 128), lambda i: (i, 0))]
+        + [pl.BlockSpec((1, bpx), lambda i: (0, i))] * 6,
+        out_specs=pl.BlockSpec((1, bpx), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.float32, vma=frozenset(vma)),
+        interpret=jax.default_backend() != "tpu",
+    )(rowfull, *args)
+
+
 def _pcf_resolve(rowfull, cand, xoff, vma=()):
     """(P, 128) i32 rows + (P,) i32 cand/xoff -> (16, P) f32 texel planes."""
     p = rowfull.shape[0]
@@ -513,25 +628,29 @@ def pcf_shadow_proj(
         lutq, xb = build_window_lut_q(shadow_map)
         jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
         jrow = jnp.where(outside, 0, jrow)
-        # Flatten + pad to the kernel block, gather, resolve in a Pallas
-        # kernel (select + unpack + dequantize + pixel-minor transpose in
-        # VMEM — the XLA form paid 11 ms/frame in relayouts and strided
-        # slice reads, tools/probe_pcf_resolve).
+        # Flatten + pad to the kernel block, gather, then resolve the window
+        # AND run the whole 25-tap loop in one Pallas kernel: only the
+        # 4 B/px shadow fraction leaves VMEM (the earlier resolve-only
+        # kernel wrote 64 B/px of texel planes that the XLA tap loop
+        # immediately re-read — a 2x134 MB round-trip at 1080p).
         shape = jrow.shape
         pn = 1
         for d in shape:
             pn *= d
         pad = -pn % 4096
-        cand = k2 * 12 + yoff
-        jrow_f = jnp.pad(jrow.reshape(-1), (0, pad))
-        cand_f = jnp.pad(cand.reshape(-1), (0, pad))
-        xoff_f = jnp.pad(xoff.reshape(-1), (0, pad))
-        rowfull = lutq[jrow_f]  # (P + pad, 128) i32, one row per window
-        out16 = _pcf_resolve(rowfull, cand_f, xoff_f, vma=vma)
-        rows = [
-            tuple(out16[4 * r + c, :pn].reshape(shape) for c in range(4))
-            for r in range(4)
-        ]
+        lx = tx - wx.astype(jnp.float32)  # local coords in the window, [1, 2)
+        ly = ty - wy.astype(jnp.float32)
+
+        def fl(a):
+            return jnp.pad(a.reshape(-1), (0, pad))
+
+        rowfull = lutq[fl(jrow)]  # (P + pad, 128) i32, one row per window
+        out = _pcf_eval(
+            rowfull, fl(k2), fl(yoff), fl(xoff), fl(z), fl(lx), fl(ly),
+            step=step, vma=vma,
+        )
+        shadow = out[0, :pn].reshape(shape) / 25.0
+        return jnp.where(outside, 0.0, shadow)
     elif use_lut:
         lutp, xb = build_window_lut(shadow_map)
         jrow, k2, yoff, xoff = window_row_index(start_y, start_x, xb)
