@@ -153,20 +153,19 @@ def bin_triangles(
     # Expansion without per-pair binary search: pair -> slot is a TWO-LEVEL
     # run-length decode. Scatters are latency-bound at ~9 ns/UPDATE, so the
     # round-2 per-slot scatter paid 9 ns x slot CAPACITY (~4.4 ms per pass
-    # at 503k slots). Level 1 scatters only per GROUP of 16 slots (~31k
-    # updates, ~0.3 ms): group ends -> cummax recovers each pair's group
-    # and the group's first pair position. Level 2 resolves the slot within
-    # the group from a packed per-group cumsum row: 8 groups' 16 local
-    # inclusive cumsums share one dense 128-lane row (small-minor (G, 16)
-    # tables tile-pad 8x and gather at ~17 ns/row — packed rows gather at
-    # cache speed with heavy consecutive-pair repeats), and two masked lane
-    # reduces give slot = #{local cums <= off} and the slot's local start.
-    G = 16
+    # at 503k slots). Level 1 scatters only per GROUP of 128 slots (~4k
+    # updates): group ends -> cummax recovers each pair's group and the
+    # group's first pair position. Level 2 resolves the slot within the
+    # group from the group's local-inclusive-cumsum row — one dense
+    # 128-lane row per group (consecutive pairs repeat rows, so the gather
+    # runs at cache speed) — and two lane reduces give
+    # slot = #{local cums <= off} and the slot's local start.
+    G = 128
     cap = setup.capacity
     cum = jnp.cumsum(counts, dtype=jnp.int32)  # inclusive
     total = cum[-1]
     pos = jnp.arange(pair_capacity, dtype=jnp.int32)
-    cap_pad = (cap + 8 * G - 1) // (8 * G) * (8 * G)
+    cap_pad = (cap + G - 1) // G * G
     if cap_pad != cap:  # pad with empty slots (cum stays flat)
         cum = jnp.concatenate(
             [cum, jnp.broadcast_to(total, (cap_pad - cap,))]
@@ -174,26 +173,37 @@ def bin_triangles(
     n_groups = cap_pad // G
 
     cum_g = cum[G - 1 :: G]  # (n_groups,) inclusive pair count per group end
-    m0 = jnp.full(pair_capacity + 1, -1, jnp.int32)
-    m0 = m0.at[jnp.clip(cum_g, 0, pair_capacity)].max(
-        jnp.arange(n_groups, dtype=jnp.int32)
-    )
-    mm = m0[:pair_capacity]
-    # (Packing both maxima into one scanned i32 needs 15 group bits + 19
-    # position bits > 31 — two scans it is.)
-    group = _cummax(mm) + 1  # group containing pair `pos`
-    gbase = _cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
+    pos_bits = max(int(pair_capacity - 1).bit_length(), 1)
+    if n_groups.bit_length() + pos_bits <= 31:
+        # One scan recovers BOTH maxima: pack (group << pos_bits) | pos into
+        # a single non-negative i32 — monotone in scatter order, so cummax
+        # of the packed value carries the latest (group, pos) pair.
+        # Scatter packs the PAIR position of each group end with its group
+        # id; positions are the scatter targets themselves.
+        m0 = jnp.full(pair_capacity + 1, -1, jnp.int32)
+        at = jnp.clip(cum_g, 0, pair_capacity)
+        m0 = m0.at[at].max(
+            (jnp.arange(n_groups, dtype=jnp.int32) << pos_bits) | at
+        )
+        mm = _cummax(m0[:pair_capacity])
+        group = (mm >> pos_bits) + 1  # arithmetic shift: -1 -> 0
+        gbase = jnp.where(mm < 0, 0, mm & ((1 << pos_bits) - 1))
+    else:  # huge buffers: fall back to two scans
+        m0 = jnp.full(pair_capacity + 1, -1, jnp.int32)
+        m0 = m0.at[jnp.clip(cum_g, 0, pair_capacity)].max(
+            jnp.arange(n_groups, dtype=jnp.int32)
+        )
+        mm = m0[:pair_capacity]
+        group = _cummax(mm) + 1  # group containing pair `pos`
+        gbase = _cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
     off = pos - gbase  # pair offset within the group
 
-    # Packed local-cumsum table: loc[g, j] = cum[g*G + j] - group_start(g),
-    # 8 groups per 128-lane row.
+    # Local-cumsum table: loc[g, j] = cum[g*G + j] - group_start(g).
     gstart = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_g[:-1]])
-    loc = (cum.reshape(n_groups, G) - gstart[:, None]).reshape(-1, 8 * G)
+    loc = cum.reshape(n_groups, G) - gstart[:, None]
     group_c = jnp.minimum(group, n_groups - 1)
-    row = loc[group_c // 8]  # (pair_cap, 128) — consecutive pairs repeat rows
-    lane_g = jnp.arange(8 * G, dtype=jnp.int32)[None, :] // G
-    lane_valid = lane_g == (group_c % 8)[:, None]
-    le = lane_valid & (row <= off[:, None])
+    row = loc[group_c]  # (pair_cap, 128) — consecutive pairs repeat rows
+    le = row <= off[:, None]
     slot_local = jnp.sum(le, axis=1, dtype=jnp.int32)
     start_local = jnp.max(jnp.where(le, row, 0), axis=1)
     slot = group_c * G + slot_local
