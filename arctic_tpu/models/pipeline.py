@@ -463,25 +463,28 @@ def shade_gbuffer(
     tile_row0=0,
     vma: tuple = (),
 ) -> Array:
-    """forward.hlsl ps_main over the fused kernel's G-buffer, CHANNEL-FIRST.
+    """forward.hlsl ps_main over the fused kernel's G-buffer, LANE-major.
 
-    gbuf: (T, GBUF_LANES, S) attr-major from ops.raster_tiles.raster_gbuffer
-    — already perspective-interpolated, so this is pure per-pixel math + the
-    texture / PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv,
+    gbuf: (GBUF_LANES, T, S) from ops.raster_tiles.raster_gbuffer — already
+    perspective-interpolated, so this is pure per-pixel math + the texture /
+    PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv,
     14:17 light-space xyz, 24:36 atlas regions, 36:40 mr const, 40:43 nm
-    const, 43:47 combined-atlas region]. Returns HDR (T, 3, S).
+    const, 43:47 combined-atlas region]. Returns HDR (3, T, S).
 
-    Everything here keeps the PIXEL dim minor (vectors (T, 3, S), scalars
-    (T, 1, S) or (T, S)): XLA assigns non-standard layouts to channel-LAST
-    (pixels, 3) elementwise chains and paid ~200 ms/frame in layout copies.
+    Everything here keeps the PIXEL dims minor (vectors (3, T, S), scalars
+    (1, T, S) or (T, S)): XLA assigns non-standard layouts to channel-LAST
+    (pixels, 3) elementwise chains and paid ~200 ms/frame in layout copies;
+    the channel-LEADING form additionally matches the select kernel's
+    physical output layout exactly, so per-lane slices are contiguous and
+    the (T, L, S)->{lane-major} relayout copy (1.6 ms at 1080p) is gone.
     """
     atlas = buffers.atlas
-    wp = gbuf[:, 0:3, :]  # (T, 3, S)
-    n_v = gbuf[:, 3:6, :]
-    t_v = gbuf[:, 6:9, :]
-    b_v = gbuf[:, 9:12, :]
-    u_uv = gbuf[:, 12, :]  # (T, S)
-    v_uv = gbuf[:, 13, :]
+    wp = gbuf[0:3]  # (3, T, S)
+    n_v = gbuf[3:6]
+    t_v = gbuf[6:9]
+    b_v = gbuf[9:12]
+    u_uv = gbuf[12]  # (T, S)
+    v_uv = gbuf[13]
 
     # Gather hygiene: uncovered pixels carry all-zero G-buffer rows whose
     # degenerate regions (h == w == 0) turn into garbage gather indices —
@@ -492,10 +495,10 @@ def shade_gbuffer(
     v_uv = jnp.where(covered, v_uv, 0.0)
 
     def reg_lane(lane, fallback):
-        return jnp.where(covered, gbuf[:, lane, :], fallback)
+        return jnp.where(covered, gbuf[lane], fallback)
 
-    def ch3(flat, base):  # (..., C) flat tap -> (T, 3, S)
-        return jnp.stack([flat[..., base + i] for i in range(3)], axis=1)
+    def ch3(flat, base):  # (..., C) flat tap -> (3, T, S)
+        return jnp.stack([flat[..., base + i] for i in range(3)], axis=0)
 
     # Per-pixel sky rays (used by the merged tap below and/or the final
     # background composite). Covered pixels don't read the sky — give them
@@ -579,11 +582,11 @@ def shade_gbuffer(
         nch = c4 // 4
         tex_pl = [out16[i, :pn].reshape(shape) for i in range(nch)]
         es_pl = [out16[nch + i, :pn].reshape(shape) for i in range(3)]
-        background = jnp.stack(es_pl, axis=1)
+        background = jnp.stack(es_pl, axis=0)
         slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
 
         def ch3p(base):
-            return jnp.stack([tex_pl[base + i] for i in range(3)], axis=1)
+            return jnp.stack([tex_pl[base + i] for i in range(3)], axis=0)
 
         base_color = ch3p(slot_base[0])
         nm = ch3p(slot_base[1]) if 1 in slot_base else None
@@ -621,52 +624,50 @@ def shade_gbuffer(
             mr_g, mr_b = t2[..., 1], t2[..., 2]
 
     if nm is None:
-        nm = gbuf[:, 40:43, :]
+        nm = gbuf[40:43]
     if mr_g is None:
-        metalness = gbuf[:, 38:39, :]  # mr const blue (T, 1, S)
-        roughness = gbuf[:, 37:38, :]  # mr const green
+        metalness = gbuf[38:39]  # mr const blue (1, T, S)
+        roughness = gbuf[37:38]  # mr const green
     else:
-        metalness = mr_b[:, None, :]
-        roughness = mr_g[:, None, :]
+        metalness = mr_b[None]
+        roughness = mr_g[None]
 
     # get_normal (forward.hlsl:104-112): green flip, [0,1]->[-1,1], TBN.
-    nm = jnp.concatenate(
-        [nm[:, 0:1, :], 1.0 - nm[:, 1:2, :], nm[:, 2:3, :]], axis=1
-    )
+    nm = jnp.concatenate([nm[0:1], 1.0 - nm[1:2], nm[2:3]], axis=0)
     nm = nm * 2.0 - 1.0
-    n = t_v * nm[:, 0:1, :] + b_v * nm[:, 1:2, :] + n_v * nm[:, 2:3, :]
-    n = n / jnp.sqrt(jnp.sum(n * n, axis=1, keepdims=True))
+    n = t_v * nm[0:1] + b_v * nm[1:2] + n_v * nm[2:3]
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True))
 
     # Sun shadow term (the sun is orthographic so light-space w == 1; the
     # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
     shadow_f = shadow.pcf_shadow_proj(
-        shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :], vma=vma
+        shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma
     )
-    lit = (1.0 - shadow_f)[:, None, :]  # (T, 1, S)
+    lit = (1.0 - shadow_f)[None]  # (1, T, S)
 
     eye = params.camera.eye
-    wo = eye[None, :, None] - wp
-    wo = wo / jnp.sqrt(jnp.sum(wo * wo, axis=1, keepdims=True))
+    wo = eye[:, None, None] - wp
+    wo = wo / jnp.sqrt(jnp.sum(wo * wo, axis=0, keepdims=True))
     sun_dir = params.sun.direction()
     lo = lit * pbr.outgoing_radiance_cf(
-        n, wo, -sun_dir[None, :, None], params.sun.color[None, :, None],
+        n, wo, -sun_dir[:, None, None], params.sun.color[:, None, None],
         base_color, metalness, roughness,
     )
 
     def light_body(i, acc):
         lpos = params.point_lights.position[i]
         lcol = params.point_lights.color[i]
-        ldir = lpos[None, :, None] - wp
+        ldir = lpos[:, None, None] - wp
         dist = jnp.maximum(
-            jnp.sqrt(jnp.sum(ldir * ldir, axis=1, keepdims=True)), 1e-12
+            jnp.sqrt(jnp.sum(ldir * ldir, axis=0, keepdims=True)), 1e-12
         )
         wi = ldir / dist
-        radiance = lcol[None, :, None] / (dist * dist)
+        radiance = lcol[:, None, None] / (dist * dist)
         if config.spotlights:
             # Opt-in cone falloff, channel-first twin of shade()'s form.
             sd = params.point_lights.spot_dir[i]
             outer, inv_rng = params.point_lights.spot_cos[i]
-            cos_t = -jnp.sum(wi * sd[None, :, None], axis=1, keepdims=True)
+            cos_t = -jnp.sum(wi * sd[:, None, None], axis=0, keepdims=True)
             radiance = radiance * jnp.clip((cos_t - outer) * inv_rng, 0.0, 1.0)
         return acc + lit * pbr.outgoing_radiance_cf(
             n, wo, wi, radiance, base_color, metalness, roughness
@@ -684,14 +685,14 @@ def shade_gbuffer(
     if config.ibl_specular:
         # Opt-in IBL specular, channel-first (see core/config.py and the
         # deferred-path twin in shade()): F(n.wo, F0) * env(reflect(-wo, n)).
-        ndotwo = jnp.sum(n * wo, axis=1, keepdims=True)  # (T, 1, S)
-        rx = 2.0 * ndotwo[:, 0, :] * n[:, 0, :] - wo[:, 0, :]
-        ry = 2.0 * ndotwo[:, 0, :] * n[:, 1, :] - wo[:, 1, :]
-        rz = 2.0 * ndotwo[:, 0, :] * n[:, 2, :] - wo[:, 2, :]
+        ndotwo = jnp.sum(n * wo, axis=0, keepdims=True)  # (1, T, S)
+        rx = 2.0 * ndotwo[0] * n[0] - wo[0]
+        ry = 2.0 * ndotwo[0] * n[1] - wo[1]
+        rz = 2.0 * ndotwo[0] * n[2] - wo[2]
         er, eg, eb = sky.sample_environment_ibl_cf(
             buffers.environment, rx, ry, rz
         )
-        env_c = jnp.stack([er, eg, eb], axis=1)  # (T, 3, S)
+        env_c = jnp.stack([er, eg, eb], axis=0)  # (3, T, S)
         f0 = 0.04 + (base_color - 0.04) * metalness
         f = pbr.fresnel_schlick(jnp.maximum(ndotwo, 0.0), f0)
         color = color + f * env_c
@@ -700,9 +701,9 @@ def shade_gbuffer(
     # tap above when available; separate gather otherwise).
     if background is None:
         background = jnp.stack(
-            sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=1
+            sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=0
         )
-    return jnp.where(covered[:, None, :], color, background)
+    return jnp.where(covered[None], color, background)
 
 
 def render_frame_stats(
@@ -785,7 +786,7 @@ def render_frame_stats(
 
         ldr = tonemap.tonemap(
             hdr, settings.tm_method, settings.gamma, settings.exposure,
-            channel_axis=-2 if fused else -1,
+            channel_axis=0 if fused else -1,
         )
         img = tonemap.to_unorm8(ldr)
 

@@ -223,10 +223,35 @@ def bin_triangles(
     tile = jnp.where(ok, tile, num_tiles)
 
     sorted_tile, sorted_slot = jax.lax.sort((tile, slot_c), num_keys=1, is_stable=True)
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    tile_start = _tile_starts(sorted_tile, num_tiles)
     return BinnedPairs(sorted_slot=sorted_slot, tile_start=tile_start, total_pairs=total)
+
+
+def _tile_starts(sorted_tile: Array, num_tiles: int) -> Array:
+    """searchsorted(sorted_tile, arange(num_tiles + 1), 'left'), two-level.
+
+    The flat jnp.searchsorted lowers to a log2(pair_cap)-iteration while
+    loop (19 gather+compare rounds at the bench caps, each latency/dispatch
+    bound — ~1.1 ms/frame across both passes). Two levels cut the serial
+    depth: a coarse searchsorted over the 128-strided row heads (a tiny
+    array, log2(cap / 128) rounds), then ONE dense (Q, 128) row gather +
+    lane reduce resolves the exact offset. Correctness: with r =
+    max(coarse - 1, 0), every element before row r is < t, so
+    first_index(>= t) = 128 * r + #(row_r < t) (the count saturating to
+    128 lands exactly at row `coarse`'s head).
+    """
+    cap = sorted_tile.shape[0]
+    if cap % 128 != 0:  # tiny test buffers: keep the flat form
+        return jnp.searchsorted(
+            sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+    view = sorted_tile.reshape(cap // 128, 128)
+    t = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    coarse = jnp.searchsorted(view[:, 0], t, side="left").astype(jnp.int32)
+    r = jnp.maximum(coarse - 1, 0)
+    rows = view[r]  # (Q, 128) — dense row gather from a <=2 MB table
+    cnt = jnp.sum((rows < t[:, None]).astype(jnp.int32), axis=1)
+    return 128 * r + cnt
 
 
 def raster_row_comps(setup: TriSetup):

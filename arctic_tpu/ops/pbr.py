@@ -82,17 +82,19 @@ def outgoing_radiance(
 
 
 # ---------------------------------------------------------------------------
-# Channel-first variants (vectors (..., 3, S), scalars (..., 1, S))
+# Channel-first variants (vectors (3, T, S), scalars (1, T, S) or broadcast)
 # ---------------------------------------------------------------------------
-# Same math as above, with the channel axis second-to-last so the PIXEL axis
-# stays minor. On TPU, XLA assigns pathological layouts (and ~200 ms/frame
-# of layout copies at 1080p) to channel-LAST (..., pixels, 3) elementwise
-# chains at loop/cond boundaries; channel-first shapes keep the standard
-# layout everywhere. Used by the fused tile-major shading path.
+# Same math as above, with the channel axis LEADING so the pixel axes stay
+# minor and per-channel planes are contiguous slices. On TPU, XLA assigns
+# pathological layouts (and ~200 ms/frame of layout copies at 1080p) to
+# channel-LAST (..., pixels, 3) elementwise chains at loop/cond boundaries;
+# channel-leading shapes match the select kernel's lane-major G-buffer
+# physical layout, so the fused shading path never pays a relayout. Used by
+# the fused tile-major shading path (pipeline.shade_gbuffer).
 
 
 def _dot_cf(a: Array, b: Array) -> Array:
-    return jnp.sum(a * b, axis=-2, keepdims=True)  # (..., 1, S)
+    return jnp.sum(a * b, axis=0, keepdims=True)  # (1, ...)
 
 
 def distribution_ggx_cf(n: Array, h: Array, roughness: Array) -> Array:
@@ -120,10 +122,10 @@ def outgoing_radiance_cf(
     metalness: Array,
     roughness: Array,
 ) -> Array:
-    """calculate_outgoing_radiance, channel-first: vectors (..., 3, S),
-    metalness/roughness (..., 1, S); returns (..., 3, S)."""
+    """calculate_outgoing_radiance, channel-first: vectors (3, T, S),
+    metalness/roughness (1, T, S); returns (3, T, S)."""
     h = wo + wi
-    h = h / jnp.sqrt(jnp.sum(h * h, axis=-2, keepdims=True))
+    h = h / jnp.sqrt(jnp.sum(h * h, axis=0, keepdims=True))
     f0 = jnp.full_like(base_color, 0.04)
     f0 = f0 + (base_color - f0) * metalness
     fresnel = fresnel_schlick(jnp.maximum(_dot_cf(h, wo), 0.0), f0)

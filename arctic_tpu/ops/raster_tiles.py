@@ -166,13 +166,9 @@ def _raster_kernel(
     row0_ref,
     # inputs
     rows_hbm,
-    # outputs
-    zref,
-    iref,
-    # scratch
-    rows_smem,
-    sems,
-    *,
+    # outputs (zref [, iref]) + scratch — depth_only kernels emit NO ibuf
+    # (the shadow pass discards it; the write was 65 MB/frame at 4000^2)
+    *out_scratch,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
@@ -181,6 +177,11 @@ def _raster_kernel(
     tps: int = 1,
     full_rows: bool = False,
 ):
+    if depth_only:
+        zref, rows_smem, sems = out_scratch
+        iref = None
+    else:
+        zref, iref, rows_smem, sems = out_scratch
     step = pl.program_id(0)
     sublanes = tile_h * tile_w // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
@@ -209,7 +210,8 @@ def _raster_kernel(
         py = (ty * tile_h + p // tile_w).astype(jnp.float32) + 0.5
 
         zref[i] = jnp.ones((sublanes, 128), jnp.float32)
-        iref[i] = jnp.full((sublanes, 128), -1, jnp.int32)
+        if not depth_only:
+            iref[i] = jnp.full((sublanes, 128), -1, jnp.int32)
 
         def chunk_dma(c, slot, start=start, o=o):
             if full_rows:
@@ -320,15 +322,16 @@ def untile_channels_first(
 def untile_packed_u8(
     buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int
 ) -> Array:
-    """untile_channels_first specialized for the final (T, 3, S) u8 frame.
+    """untile_channels_first specialized for the final (3, T, S) u8 frame
+    (channel-leading, matching the fused shading path's layout).
 
     Packs RGB into one i32 plane first so the tile-unshuffle transposes a
     single (T, S) array instead of a 3-channel u8 layout (small-minor u8
     transposes are the slow path on TPU), then unpacks to (Hp, Wp, 3) u8.
     """
-    r = buf[:, 0, :].astype(jnp.int32)
-    g = buf[:, 1, :].astype(jnp.int32)
-    b = buf[:, 2, :].astype(jnp.int32)
+    r = buf[0].astype(jnp.int32)
+    g = buf[1].astype(jnp.int32)
+    b = buf[2].astype(jnp.int32)
     packed = r | (g << 8) | (b << 16)  # (T, S)
     frame = _untile(
         packed.reshape(packed.shape[0], tile_h * tile_w // 128, 128),
@@ -444,9 +447,15 @@ def _select_kernel(
         # groups x 3 separate dots but ~24x fewer dispatches (the kernel is
         # dispatch-bound at 2040 tiles x 24 small dots).
         cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
-        sid3 = jnp.concatenate([sid, sid, sid], axis=0)  # (3*chunk, 1)
         iref_flat = iref[0].reshape(1, groups * 128).astype(jnp.float32)
-        onehot = (sid3 == iref_flat).astype(jnp.bfloat16)  # (3*chunk, G*128)
+        # Build the one-hot ONCE and tile it per part: the (chunk, G*128)
+        # compare + bf16 convert is as expensive as the MXU dot itself
+        # (measured ~2.5 us/chunk at 3x vs ~1 us for the dot), and the
+        # repeated parts are copies, not compares. Bit-identical: the dot
+        # sees the exact same (3*chunk, G*128) operand as the 3x-compare
+        # form.
+        oh1 = (sid == iref_flat).astype(jnp.bfloat16)  # (chunk, G*128)
+        onehot = jnp.concatenate([oh1, oh1, oh1], axis=0)  # (3*chunk, G*128)
         acc_all = jax.lax.dot_general(
             cat,
             onehot,
@@ -483,7 +492,7 @@ def _select_kernel(
         blk = jnp.concatenate(
             [attr, acc[88:112, :], jnp.zeros((16, 128), jnp.float32)], axis=0
         )  # (GBUF_LANES, 128) attr-major
-        out_ref[0, :, pl.ds(128 * s, 128)] = blk
+        out_ref[:, s, :] = blk
 
 
 def select_interp_tiles(
@@ -504,7 +513,11 @@ def select_interp_tiles(
     order by bin_and_rasterize (one gather feeds both kernels).
     segs: (seg_start, seg_len) from bin_and_rasterize.
     it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
-    Returns (num_tiles, GBUF_LANES, S) f32, attr-major (pixel dim minor).
+    Returns (GBUF_LANES, num_tiles, S) f32 — LANE-major: the downstream
+    channel-leading shading (pipeline.shade_gbuffer) slices per-lane (T, S)
+    planes as contiguous rows. Emitting (T, GBUF_LANES, S) instead paid a
+    1.6 ms {2,1,0}->{2,0,1} relayout copy of the 510 MB buffer at 1080p
+    (XLA assigns the consumer chain the lane-major physical layout).
     """
     assert 128 % tile_w == 0, "tile_w must divide a lane row"
     seg_start, seg_len = segs
@@ -520,7 +533,7 @@ def select_interp_tiles(
             pl.BlockSpec((1, sublanes, 128), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, GBUF_LANES, sublanes * 128), lambda i, *_: (i, 0, 0)
+            (GBUF_LANES, sublanes, 128), lambda i, *_: (0, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 128), jnp.float32),
@@ -530,14 +543,17 @@ def select_interp_tiles(
     kernel = functools.partial(
         _select_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, GBUF_LANES, sublanes * 128), jnp.float32, vma=frozenset(vma)
+            (GBUF_LANES, num_tiles * sublanes, 128), jnp.float32,
+            vma=frozenset(vma),
         ),
         interpret=_interpret(),
     )(seg_start, seg_len, row0_arr, rows, it_tiles)
+    # Contiguous reshape: (L, T*sub, 128) -> (L, T, S); bytes unchanged.
+    return out.reshape(GBUF_LANES, num_tiles, sublanes * 128)
 
 
 def raster_gbuffer(
@@ -553,8 +569,9 @@ def raster_gbuffer(
 ):
     """Fused visibility + shading-input resolve for the camera pass.
 
-    Returns (ibuf_tiles (T, S) i32, gbuf (T, S, GBUF_LANES) f32, total_pairs).
-    Everything stays tile-major; callers untile only the final u8 frame.
+    Returns (ibuf_tiles (T, S) i32, gbuf (GBUF_LANES, T, S) f32 lane-major,
+    total_pairs). Everything stays tile-major; callers untile only the
+    final u8 frame.
     """
     th, tw = config.tile_h, config.tile_w
     tiles_x = -(-width // tw)
@@ -590,8 +607,9 @@ def bin_and_rasterize(
 ):
     """Bin + tile-raster; returns tile-major (zt, it), the segment lists,
     the pair stats, and the pair-ordered row table (for the fused shading
-    kernel). With depth_only the ibuf stays cleared (-1) — the shadow pass
-    discards it, and skipping the slot-id select trims per-triangle work.
+    kernel). With depth_only NO ibuf is produced (it is None) — the shadow
+    pass discards it, so the kernel emits only the z planes (skipping the
+    slot-id select work and the 65 MB/frame ibuf write at 4000^2).
 
     When ``shade_rows`` is given, the raster kernel streams the 128-lane
     shade-row table itself (raster planes live at lanes [112:125)) — ONE
@@ -645,14 +663,22 @@ def bin_and_rasterize(
     seg_start = jnp.pad(pairs.tile_start[:-1], (0, nt_pad - num_tiles))
     seg_len = jnp.pad(jnp.diff(pairs.tile_start), (0, nt_pad - num_tiles))
 
+    out_spec = pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0))
+    # vma: varying mesh axes when called inside shard_map (each device
+    # rasterizes its own tile slab).
+    z_shape = jax.ShapeDtypeStruct(
+        (nt_pad, sublanes, 128), jnp.float32, vma=frozenset(vma)
+    )
+    i_shape = jax.ShapeDtypeStruct(
+        (nt_pad, sublanes, 128), jnp.int32, vma=frozenset(vma)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tps, sublanes, 128), lambda i, *_: (i, 0, 0)),
-        ],
+        # depth_only (shadow) kernels emit no ibuf at all — the caller
+        # discards it and the write alone was 65 MB/frame at 4000^2.
+        out_specs=[out_spec] if depth_only else [out_spec, out_spec],
         scratch_shapes=[
             pltpu.SMEM(
                 (2, chunk, 128) if full_rows else (2, chunk // 8, 128),
@@ -665,19 +691,16 @@ def bin_and_rasterize(
         _raster_kernel, tiles_x=tiles_x, tile_h=th, tile_w=tw, chunk=chunk,
         depth_only=depth_only, tps=tps, full_rows=full_rows,
     )
-    zt, it = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            # vma: varying mesh axes when called inside shard_map (each
-            # device rasterizes its own tile slab).
-            jax.ShapeDtypeStruct((nt_pad, sublanes, 128), jnp.float32, vma=frozenset(vma)),
-            jax.ShapeDtypeStruct((nt_pad, sublanes, 128), jnp.int32, vma=frozenset(vma)),
-        ],
+        out_shape=[z_shape] if depth_only else [z_shape, i_shape],
         interpret=_interpret(),
     )(seg_start, seg_len, row0_arr, rows)
+    zt = out[0]
+    it = None if depth_only else out[1][:num_tiles]
     segs = (seg_start, seg_len)
-    return zt[:num_tiles], it[:num_tiles], segs, pairs, rows
+    return zt[:num_tiles], it, segs, pairs, rows
 
 
 def rasterize_tiled(
@@ -715,10 +738,10 @@ def rasterize_tiled(
         depth_only,
     )
     zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
-    ibuf = _untile(it, tile_rows, tiles_x, th, tw)
+    ibuf = None if it is None else _untile(it, tile_rows, tiles_x, th, tw)
     if crop:
         zbuf = zbuf[:height, :width]
-        ibuf = ibuf[:height, :width]
+        ibuf = None if ibuf is None else ibuf[:height, :width]
     if with_pairs:
         # Overflowing pairs are silently floated to the sentinel tile and
         # dropped; callers compare total_pairs against pair_cap to make the

@@ -60,6 +60,10 @@ def tm_aces(color: Array, channel_axis: int = -1) -> Array:
         c = jnp.einsum("ij,...j->...i", ACES_INPUT_MAT, color)
         c = _rrt_and_odt_fit(c)
         c = jnp.einsum("ij,...j->...i", ACES_OUTPUT_MAT, c)
+    elif channel_axis == 0:  # channel-leading (3, ...): pixel dims minor
+        c = jnp.einsum("ij,j...->i...", ACES_INPUT_MAT, color)
+        c = _rrt_and_odt_fit(c)
+        c = jnp.einsum("ij,j...->i...", ACES_OUTPUT_MAT, c)
     else:  # channel-first (..., 3, S): pixel dim stays minor
         c = jnp.einsum("ij,...js->...is", ACES_INPUT_MAT, color)
         c = _rrt_and_odt_fit(c)

@@ -165,7 +165,7 @@ def render_frame_sharded_stats(
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)
         ldr = tonemap.tonemap(
             hdr, settings.tm_method, settings.gamma, settings.exposure,
-            channel_axis=-2,
+            channel_axis=0,
         )
         img = raster_tiles.untile_packed_u8(
             tonemap.to_unorm8(ldr), cam_rows_dev, config.tiles_x, th, tw

@@ -57,9 +57,9 @@ def main():
 
     ibuf_tiles, gbuf = gbuf_fn(bufs, params)
     covered = np.asarray(ibuf_tiles) >= 0  # (T, S)
-    x = np.asarray(gbuf[:, 14, :])
-    y = np.asarray(gbuf[:, 15, :])
-    z = np.asarray(gbuf[:, 16, :])
+    x = np.asarray(gbuf[14])
+    y = np.asarray(gbuf[15])
+    z = np.asarray(gbuf[16])
 
     u = x * 0.5 + 0.5
     v = 1.0 - (y * 0.5 + 0.5)

@@ -114,8 +114,8 @@ def main():
         a = bufs.atlas
         return sample_quads_flat(
             a.combined_quads, a.combined_block_grid,
-            gbuf[:, 43, :], gbuf[:, 44, :], gbuf[:, 45, :], gbuf[:, 46, :],
-            gbuf[:, 12, :], gbuf[:, 13, :])
+            gbuf[43], gbuf[44], gbuf[45], gbuf[46],
+            gbuf[12], gbuf[13])
 
     t, _ = timeit(stage_tex, bufs, gbuf)
     print(f"  tex (combined):     {t*1e3:8.2f} ms", flush=True)
@@ -123,7 +123,7 @@ def main():
     @jax.jit
     def stage_pcf(shadow_map, gbuf):
         return shadow_ops.pcf_shadow_proj(
-            shadow_map, gbuf[:, 14, :], gbuf[:, 15, :], gbuf[:, 16, :])
+            shadow_map, gbuf[14], gbuf[15], gbuf[16])
 
     t, _ = timeit(stage_pcf, shadow_map, gbuf)
     print(f"  pcf:                {t*1e3:8.2f} ms", flush=True)
@@ -131,7 +131,7 @@ def main():
     @jax.jit
     def stage_post(hdr, settings):
         x = hdr.astype(jnp.float16).astype(jnp.float32)
-        ldr = tonemap.tonemap(x, settings.tm_method, settings.gamma, settings.exposure, channel_axis=-2)
+        ldr = tonemap.tonemap(x, settings.tm_method, settings.gamma, settings.exposure, channel_axis=0)
         img = tonemap.to_unorm8(ldr)
         return raster_tiles.untile_packed_u8(
             img, config.tiles_y, config.tiles_x, config.tile_h, config.tile_w
