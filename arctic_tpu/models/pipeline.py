@@ -465,25 +465,30 @@ def shade_gbuffer(
 ) -> Array:
     """forward.hlsl ps_main over the fused kernel's G-buffer, LANE-major.
 
-    gbuf: (GBUF_LANES, T, S) from ops.raster_tiles.raster_gbuffer — already
-    perspective-interpolated, so this is pure per-pixel math + the texture /
-    PCF taps. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv,
+    gbuf: (GBUF_LANES, R, 128) from ops.raster_tiles.raster_gbuffer —
+    already perspective-interpolated, so this is pure per-pixel math + the
+    texture / PCF taps. R = num_tiles * tile_px / 128: the pixel-BLOCK
+    layout, where row r lane l is pixel 128 * r + l of the row-major tile
+    pixel stream. Lane map: [0:3 wp, 3:6 n, 6:9 t, 9:12 b, 12:14 uv,
     14:17 light-space xyz, 24:36 atlas regions, 36:40 mr const, 40:43 nm
-    const, 43:47 combined-atlas region]. Returns HDR (3, T, S).
+    const, 43:47 combined-atlas region]. Returns HDR (3, R, 128).
 
-    Everything here keeps the PIXEL dims minor (vectors (3, T, S), scalars
-    (1, T, S) or (T, S)): XLA assigns non-standard layouts to channel-LAST
-    (pixels, 3) elementwise chains and paid ~200 ms/frame in layout copies;
-    the channel-LEADING form additionally matches the select kernel's
-    physical output layout exactly, so per-lane slices are contiguous and
-    the (T, L, S)->{lane-major} relayout copy (1.6 ms at 1080p) is gone.
+    Everything here keeps the PIXEL dims minor (vectors (3, R, 128),
+    scalars (1, R, 128) or (R, 128)): XLA assigns non-standard layouts to
+    channel-LAST (pixels, 3) elementwise chains and paid ~200 ms/frame in
+    layout copies; the channel-LEADING form matches the select kernel's
+    physical output layout exactly, and the (R, 128) pixel-block shape is
+    bitcast-compatible with both the kernel's (T*sub, 128) output and the
+    flat (P,) vectors the tap/PCF gathers consume — a (T, S=sub*128) shape
+    instead paid a 1.76 ms retiling copy per buffer (TPU (8,128) tiles of
+    [T, 4096] group 8 TILE rows, a different element order).
     """
     atlas = buffers.atlas
-    wp = gbuf[0:3]  # (3, T, S)
+    wp = gbuf[0:3]  # (3, R, 128)
     n_v = gbuf[3:6]
     t_v = gbuf[6:9]
     b_v = gbuf[9:12]
-    u_uv = gbuf[12]  # (T, S)
+    u_uv = gbuf[12]  # (R, 128)
     v_uv = gbuf[13]
 
     # Gather hygiene: uncovered pixels carry all-zero G-buffer rows whose
@@ -497,16 +502,20 @@ def shade_gbuffer(
     def reg_lane(lane, fallback):
         return jnp.where(covered, gbuf[lane], fallback)
 
-    def ch3(flat, base):  # (..., C) flat tap -> (3, T, S)
+    def ch3(flat, base):  # (..., C) flat tap -> (3, R, 128)
         return jnp.stack([flat[..., base + i] for i in range(3)], axis=0)
 
     # Per-pixel sky rays (used by the merged tap below and/or the final
     # background composite). Covered pixels don't read the sky — give them
     # one constant direction so their (discarded) taps hit a single row.
-    t_tiles, s_pix = covered.shape
+    # Pixel-block layout: row r lane l = pixel 128 * r + l of tile r // sub.
+    r_rows, _ = covered.shape
     tw, th = config.tile_w, config.tile_h
-    t_idx = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
-    p_idx = jnp.arange(s_pix, dtype=jnp.int32)[None, :]
+    sub = th * tw // 128
+    r_idx = jnp.arange(r_rows, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+    t_idx = r_idx // sub
+    p_idx = (r_idx % sub) * 128 + lane
     px = ((t_idx % tiles_x) * tw + p_idx % tw).astype(jnp.float32) + 0.5
     py = ((tile_row0 + t_idx // tiles_x) * th + p_idx // tw).astype(jnp.float32) + 0.5
     dx, dy, dz = sky.camera_ray_dirs_cf(

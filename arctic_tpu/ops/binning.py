@@ -153,14 +153,19 @@ def bin_triangles(
     # Expansion without per-pair binary search: pair -> slot is a TWO-LEVEL
     # run-length decode. Scatters are latency-bound at ~9 ns/UPDATE, so the
     # round-2 per-slot scatter paid 9 ns x slot CAPACITY (~4.4 ms per pass
-    # at 503k slots). Level 1 scatters only per GROUP of 128 slots (~4k
+    # at 503k slots). Level 1 scatters only per GROUP of slots (~8k
     # updates): group ends -> cummax recovers each pair's group and the
     # group's first pair position. Level 2 resolves the slot within the
-    # group from the group's local-inclusive-cumsum row — one dense
-    # 128-lane row per group (consecutive pairs repeat rows, so the gather
-    # runs at cache speed) — and two lane reduces give
-    # slot = #{local cums <= off} and the slot's local start.
-    G = 128
+    # group from ONE dense 128-lane row per group (consecutive pairs repeat
+    # rows, so the gather runs at cache speed): lanes [0:G) carry the
+    # group's local-inclusive-cumsum (two lane reduces give
+    # slot = #{local cums <= off} and the slot's local start) and lanes
+    # [G:2G) the packed bbox META of the group's G slots, resolved by a
+    # lane one-hot at slot_local — G = 64 so both halves share one row and
+    # one gather (separate 128-lane loc/meta gathers + a split select
+    # fusion cost ~2x: r3h per-HLO 0.59 + 0.88 + 0.59 ms on the shadow
+    # pass; the scalar meta[slot] form before that, ~7 ns/pair, 2.34 ms).
+    G = 64
     cap = setup.capacity
     cum = jnp.cumsum(counts, dtype=jnp.int32)  # inclusive
     total = cum[-1]
@@ -198,24 +203,33 @@ def bin_triangles(
         gbase = _cummax(jnp.where(mm >= 0, pos, 0))  # group's first pair
     off = pos - gbase  # pair offset within the group
 
-    # Local-cumsum table: loc[g, j] = cum[g*G + j] - group_start(g).
-    gstart = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_g[:-1]])
-    loc = cum.reshape(n_groups, G) - gstart[:, None]
-    group_c = jnp.minimum(group, n_groups - 1)
-    row = loc[group_c]  # (pair_cap, 128) — consecutive pairs repeat rows
-    le = row <= off[:, None]
-    slot_local = jnp.sum(le, axis=1, dtype=jnp.int32)
-    start_local = jnp.max(jnp.where(le, row, 0), axis=1)
-    slot = group_c * G + slot_local
-    k = off - start_local
-
-    # One gather per pair: bbox data packed into a single int32
-    # (tx0: 9 bits, ty0: 13 bits, w: 9 bits — targets up to 16k x 256k px).
+    # Combined group rows: lanes [0:G) local cumsum, [G:2G) packed bbox
+    # meta (tx0: 9 bits, ty0: 13 bits, w: 9 bits — up to 16k x 256k px).
     assert tiles_x <= 512 and tiles_y <= 8192
     meta = tx0 | (ty0 << 9) | (w << 22)
+    if cap_pad != cap:
+        meta = jnp.concatenate([meta, jnp.zeros((cap_pad - cap,), meta.dtype)])
+    gstart = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_g[:-1]])
+    loc = cum.reshape(n_groups, G) - gstart[:, None]
+    combined = jnp.concatenate([loc, meta.reshape(n_groups, G)], axis=1)
+    group_c = jnp.minimum(group, n_groups - 1)
+    row = combined[group_c]  # (pair_cap, 2G) — consecutive pairs repeat rows
+    locr = row[:, :G]
+    le = locr <= off[:, None]
+    slot_local = jnp.sum(le, axis=1, dtype=jnp.int32)
+    start_local = jnp.max(jnp.where(le, locr, 0), axis=1)
+    slot = group_c * G + slot_local
+    k = off - start_local
+    # slot_local of a valid pair is < G (its group's total exceeds off), so
+    # the one-hot below always hits a real meta lane; invalid pairs may
+    # select nothing (m = 0) and are masked by `ok`.
+    lane_g = jnp.arange(G, dtype=jnp.int32)
+    m = jnp.sum(
+        jnp.where(lane_g == slot_local[:, None], row[:, G:], 0), axis=1,
+        dtype=jnp.int32,
+    )
     ok = (pos < total) & (slot < setup.capacity)
     slot_c = jnp.minimum(slot, setup.capacity - 1)
-    m = meta[slot_c]
     mtx0 = m & 0x1FF
     mty0 = (m >> 9) & 0x1FFF
     mw = jnp.maximum(m >> 22, 1)

@@ -33,6 +33,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Select kernel: 3 part-dots sharing one one-hot operand vs one concat'd
+# dot (A/B'd on hardware; bit-identical either way — see _select_kernel).
+SELECT_SPLIT_DOTS = False
+
+
 def _round_up_8(x: int) -> int:
     return (x + 7) // 8 * 8
 
@@ -322,19 +327,19 @@ def untile_channels_first(
 def untile_packed_u8(
     buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int
 ) -> Array:
-    """untile_channels_first specialized for the final (3, T, S) u8 frame
-    (channel-leading, matching the fused shading path's layout).
+    """untile_channels_first specialized for the final (3, R, 128) u8 frame
+    (channel-leading pixel-block layout, matching the fused shading path).
 
     Packs RGB into one i32 plane first so the tile-unshuffle transposes a
-    single (T, S) array instead of a 3-channel u8 layout (small-minor u8
+    single plane instead of a 3-channel u8 layout (small-minor u8
     transposes are the slow path on TPU), then unpacks to (Hp, Wp, 3) u8.
     """
     r = buf[0].astype(jnp.int32)
     g = buf[1].astype(jnp.int32)
     b = buf[2].astype(jnp.int32)
-    packed = r | (g << 8) | (b << 16)  # (T, S)
+    packed = r | (g << 8) | (b << 16)  # (R, 128)
     frame = _untile(
-        packed.reshape(packed.shape[0], tile_h * tile_w // 128, 128),
+        packed.reshape(tiles_y * tiles_x, tile_h * tile_w // 128, 128),
         tiles_y, tiles_x, tile_h, tile_w,
     )  # (Hp, Wp) i32
     return jnp.stack(
@@ -442,26 +447,36 @@ def _select_kernel(
         r1 = rows - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        # ONE dot per chunk: K stacks the 3 bf16 parts (the one-hot repeats
-        # per part), N concatenates the pixel groups — same MXU passes as
-        # groups x 3 separate dots but ~24x fewer dispatches (the kernel is
-        # dispatch-bound at 2040 tiles x 24 small dots).
-        cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
         iref_flat = iref[0].reshape(1, groups * 128).astype(jnp.float32)
-        # Build the one-hot ONCE and tile it per part: the (chunk, G*128)
-        # compare + bf16 convert is as expensive as the MXU dot itself
-        # (measured ~2.5 us/chunk at 3x vs ~1 us for the dot), and the
-        # repeated parts are copies, not compares. Bit-identical: the dot
-        # sees the exact same (3*chunk, G*128) operand as the 3x-compare
-        # form.
+        # The one-hot is built ONCE; the (chunk, G*128) compare + bf16
+        # convert is as expensive as the MXU dot itself.
         oh1 = (sid == iref_flat).astype(jnp.bfloat16)  # (chunk, G*128)
-        onehot = jnp.concatenate([oh1, oh1, oh1], axis=0)  # (3*chunk, G*128)
-        acc_all = jax.lax.dot_general(
-            cat,
-            onehot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (128, G*128)
+        if SELECT_SPLIT_DOTS:
+            # Three dots sharing the one-hot operand: skips the (3*chunk,
+            # G*128) bf16 one-hot concat (a real VMEM copy per chunk) at
+            # the cost of 2 extra (128, G*128) f32 adds. Bit-identical:
+            # the parts are disjoint 8-bit mantissa slices, so hi+mid+lo
+            # adds are exact regardless of order.
+            acc_all = None
+            for part in (hi, mid, lo):
+                d = jax.lax.dot_general(
+                    part,
+                    oh1,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_all = d if acc_all is None else acc_all + d
+        else:
+            # ONE dot per chunk: K stacks the 3 bf16 parts (the one-hot
+            # repeats per part), N concatenates the pixel groups.
+            cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
+            onehot = jnp.concatenate([oh1, oh1, oh1], axis=0)
+            acc_all = jax.lax.dot_general(
+                cat,
+                onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, G*128)
         return [
             accs[s] + acc_all[:, 128 * s : 128 * (s + 1)] for s in range(groups)
         ]
@@ -513,11 +528,15 @@ def select_interp_tiles(
     order by bin_and_rasterize (one gather feeds both kernels).
     segs: (seg_start, seg_len) from bin_and_rasterize.
     it_tiles: (num_tiles, S/128, 128) i32 slot ids from the raster kernel.
-    Returns (GBUF_LANES, num_tiles, S) f32 — LANE-major: the downstream
-    channel-leading shading (pipeline.shade_gbuffer) slices per-lane (T, S)
-    planes as contiguous rows. Emitting (T, GBUF_LANES, S) instead paid a
-    1.6 ms {2,1,0}->{2,0,1} relayout copy of the 510 MB buffer at 1080p
-    (XLA assigns the consumer chain the lane-major physical layout).
+    Returns (GBUF_LANES, R, 128) f32 with R = num_tiles * S/128 — LANE-major
+    pixel-BLOCK layout: the downstream channel-leading shading
+    (pipeline.shade_gbuffer) slices per-lane (R, 128) planes as contiguous
+    rows. Emitting (T, GBUF_LANES, S) instead paid a 1.6 ms {2,1,0}->{2,0,1}
+    relayout copy of the 510 MB buffer at 1080p, and reshaping to
+    (L, T, S=sub*128) paid a 1.76 ms retiling copy (TPU (8,128) tiling of
+    [T, 4096] groups 8 TILE rows per tile, not 8 sublane rows — the element
+    orders differ). (R, 128) <-> (T, sub, 128) <-> flat (R*128,) are all
+    free bitcasts, so the whole shading chain stays copy-free.
     """
     assert 128 % tile_w == 0, "tile_w must divide a lane row"
     seg_start, seg_len = segs
@@ -552,8 +571,7 @@ def select_interp_tiles(
         ),
         interpret=_interpret(),
     )(seg_start, seg_len, row0_arr, rows, it_tiles)
-    # Contiguous reshape: (L, T*sub, 128) -> (L, T, S); bytes unchanged.
-    return out.reshape(GBUF_LANES, num_tiles, sublanes * 128)
+    return out  # (L, R, 128), R = num_tiles * sublanes
 
 
 def raster_gbuffer(
@@ -569,9 +587,10 @@ def raster_gbuffer(
 ):
     """Fused visibility + shading-input resolve for the camera pass.
 
-    Returns (ibuf_tiles (T, S) i32, gbuf (GBUF_LANES, T, S) f32 lane-major,
-    total_pairs). Everything stays tile-major; callers untile only the
-    final u8 frame.
+    Returns (ibuf_tiles (R, 128) i32, gbuf (GBUF_LANES, R, 128) f32
+    lane-major, total_pairs) with R = num_tiles * tile_px / 128 (the
+    pixel-block layout — see select_interp_tiles). Everything stays
+    tile-major; callers untile only the final u8 frame.
     """
     th, tw = config.tile_h, config.tile_w
     tiles_x = -(-width // tw)
@@ -587,7 +606,8 @@ def raster_gbuffer(
     )
     sublanes = th * tw // 128
     num_tiles = tiles_x * tile_rows
-    ibuf_tiles = it.reshape(num_tiles, sublanes * 128)
+    # (T, sub, 128) -> (R, 128) is a free bitcast (consistent (8,128) tiling).
+    ibuf_tiles = it.reshape(num_tiles * sublanes, 128)
     return ibuf_tiles, gbuf, pairs.total_pairs
 
 

@@ -56,10 +56,16 @@ def main():
         return ibuf_tiles, gbuf
 
     ibuf_tiles, gbuf = gbuf_fn(bufs, params)
-    covered = np.asarray(ibuf_tiles) >= 0  # (T, S)
-    x = np.asarray(gbuf[14])
-    y = np.asarray(gbuf[15])
-    z = np.asarray(gbuf[16])
+    sub = config.tile_h * config.tile_w // 128
+
+    def tiled(a):  # (R, 128) pixel-block -> (T, S) numpy
+        a = np.asarray(a)
+        return a.reshape(a.shape[0] // sub, sub * 128)
+
+    covered = tiled(ibuf_tiles) >= 0  # (T, S)
+    x = tiled(gbuf[14])
+    y = tiled(gbuf[15])
+    z = tiled(gbuf[16])
 
     u = x * 0.5 + 0.5
     v = 1.0 - (y * 0.5 + 0.5)
@@ -103,6 +109,48 @@ def main():
         e = ((wy[t][m] - oy > 124) | (wx[t][m] - ox > 508)).sum()
         esc += int(e)
     print("escapee pixels beyond per-tile 128x512 rect:", esc, "of", int(inside.sum()))
+
+    # --- window-row sharing rates (quad-shared PCF gather feasibility) ---
+    # Pixel-block layout: a (R, 128) row holds two screen rows of a 64-wide
+    # tile; a 2x2 screen quad = lanes (2j, 2j+1, 64+2j, 64+2j+1) of one row.
+    from arctic_tpu.ops.shadow import window_row_index_q
+
+    S_ = S
+    start_y = np.clip(wy + 2, 0, S_)
+    start_x = np.clip(wx + 2, 0, S_)
+    xb = (-(-(S_ + 4 + 3) // 128) + 7) // 8 * 8
+    jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
+    R = covered.shape[0] * sub
+    jr = jrow.reshape(R, 128)
+    act = inside.reshape(R, 128)  # only pixels that actually gather
+
+    def share(groups):  # groups: list of lane-index arrays forming a group
+        g = np.stack([jr[:, li] for li in groups], axis=0)  # (k, R, 64...)
+        a = np.stack([act[:, li] for li in groups], axis=0)
+        ref = g[0]
+        same = np.ones_like(ref, bool)
+        for i in range(len(groups)):
+            same &= ~a[i] | (g[i] == ref)
+        any_act = a.any(axis=0)
+        return (same & any_act).sum() / max(any_act.sum(), 1)
+
+    print("pair-share (x-adjacent, both halves):",
+          f"{share([np.r_[2*np.arange(32), 64+2*np.arange(32)], np.r_[2*np.arange(32)+1, 64+2*np.arange(32)+1]]):.4f}")
+    q = [2 * np.arange(32), 2 * np.arange(32) + 1,
+         64 + 2 * np.arange(32), 64 + 2 * np.arange(32) + 1]
+    print("quad-share (2x2, strict jrow equality):", f"{share(q):.4f}")
+    # y-bucket and x-bucket agreement separately (which axis straddles?)
+    qy = start_y // 12
+    qx8 = start_x // 8
+    for nm, vv in (("qy(12)", qy), ("qx(8)", qx8)):
+        g = vv.reshape(R, 128)
+        gg = np.stack([g[:, li] for li in q], axis=0)
+        aa = np.stack([act[:, li] for li in q], axis=0)
+        same = np.ones_like(gg[0], bool)
+        for i in range(4):
+            same &= ~aa[i] | (gg[i] == gg[0])
+        any_act = aa.any(axis=0)
+        print(f"quad agreement on {nm}:", f"{(same & any_act).sum() / max(any_act.sum(), 1):.4f}")
 
 
 if __name__ == "__main__":
