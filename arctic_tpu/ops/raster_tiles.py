@@ -267,14 +267,15 @@ def _raster_kernel(
                         cz = jnp.where(valid, r(11), 2.0)
                         z = az * px + bz * py + cz
                         zbuf = zref[i]
+                        # Bit-exact trim of the accept chain: the three
+                        # edge tests and z >= 0 fold into mins (NaNs
+                        # propagate and still reject), and z <= 1 is
+                        # implied by z < zbuf (zbuf only decreases from
+                        # its 1.0 clear). 11 vector ops -> 6.
                         ok = (
-                            (e0 >= 0.0)
-                            & (e1 >= 0.0)
-                            & (e2 >= 0.0)
-                            & (z >= 0.0)
-                            & (z <= 1.0)
-                            & (z < zbuf)
-                        )
+                            jnp.minimum(jnp.minimum(e0, e1), jnp.minimum(e2, z))
+                            >= 0.0
+                        ) & (z < zbuf)
                         zref[i] = jnp.where(ok, z, zbuf)
                         if not depth_only:
                             # slot id value-encoded in f32
