@@ -37,6 +37,17 @@ def _interpret() -> bool:
 # dot (A/B'd on hardware; bit-identical either way — see _select_kernel).
 SELECT_SPLIT_DOTS = False
 
+# Select kernel: pixel banks per tile for chunk x bank zero-dot skipping
+# (segments are slot-sorted, so a chunk's slot range and a bank's winner
+# range are exact bounds — a disjoint pair contributes only zeros and its
+# compare+dot can be skipped). 1 disables (one full-tile dot per chunk).
+# A/B on hardware (tools/probe_select_banks, bit-identical frames): 4 banks
+# measured 0.5 ms WORSE (select 4.83 -> 5.35 ms — the per-chunk scalar
+# range reduces + pl.when machinery cost more than the skipped dots save),
+# so the default stays 1. The VMEM-scratch accumulator this introduced IS
+# faster than the old 2 MB fori_loop carry and is kept for both settings.
+SELECT_BANKS = 1
+
 
 def _round_up_8(x: int) -> int:
     return (x + 7) // 8 * 8
@@ -368,11 +379,13 @@ def _select_kernel(
     # scratch
     rows_vmem,
     sems,
+    acc_vmem,
     *,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
+    banks: int = 1,
 ):
     """Per tile: re-stream the tile's triangle list as full 128-lane shade
     rows and resolve per-pixel shading inputs with ZERO per-pixel gathers.
@@ -410,7 +423,33 @@ def _select_kernel(
     px = (tx * tile_w + lane % tile_w).astype(jnp.float32) + 0.5
     py_base = (ty * tile_h + lane // tile_w).astype(jnp.float32) + 0.5
 
-    accs = [jnp.zeros((128, 128), jnp.float32) for _ in range(groups)]
+    nb = banks if banks > 1 and groups % banks == 0 else 1
+    gpb = groups // nb
+    # Accumulate in VMEM scratch (not a loop carry) so each chunk x bank
+    # contribution can run under pl.when: segments are SLOT-SORTED, so a
+    # chunk's [smin, smax] and a bank's winner [bmin, bmax] are exact range
+    # bounds — disjoint ranges mean the bank's one-hot is all-zero for this
+    # chunk and the compare+dot is skipped outright (uncovered banks skip
+    # every chunk: bmax stays -1). Skipped contributions are exactly the
+    # zeros the full dot would have added, so the output is bit-identical.
+    for b in range(nb):
+        acc_vmem[b] = jnp.zeros((128, gpb * 128), jnp.float32)
+    iref_i = iref[0]  # (groups, 128) i32
+    # Winner-id range per bank (nb == 1: whole tile). Even without banking
+    # the per-chunk range test pays: chunks whose triangles all LOST the
+    # depth test match no winner and skip their compare+dot entirely.
+    bmaxs = []
+    bmins = []
+    for b in range(nb):
+        blk = iref_i[b * gpb : (b + 1) * gpb]
+        bmaxs.append(jnp.max(blk).astype(jnp.float32))
+        bmins.append(
+            jnp.min(jnp.where(blk >= 0, blk, jnp.int32(1 << 30))).astype(
+                jnp.float32
+            )
+        )
+    iref_f = iref_i.reshape(1, groups * 128).astype(jnp.float32)
+
     # Empty tiles must run ZERO chunks (cdiv(o, chunk) would be 1 for
     # o > 0 and the body would wait on a DMA the n > 0 guard never starts).
     num_chunks = jnp.where(n > 0, pl.cdiv(n + o, chunk), 0)
@@ -423,7 +462,7 @@ def _select_kernel(
             sems.at[slot],
         )
 
-    def body(c, accs):
+    def body(c, carry):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < num_chunks)
@@ -435,11 +474,8 @@ def _select_kernel(
         # Mask rows outside the segment (the previous / next tile's rows):
         # their slot ids must never match a pixel. Valid chunk-local rows
         # are [o - c*chunk, o + n - c*chunk).
-        sid = jnp.where(
-            (k_iota >= o - c * chunk) & (k_iota < o + n - c * chunk),
-            rows[:, 9:10],
-            -2.0,
-        )
+        kvalid = (k_iota >= o - c * chunk) & (k_iota < o + n - c * chunk)
+        sid = jnp.where(kvalid, rows[:, 9:10], -2.0)
         # Manual 3-way bf16 split of the f32 rows (exact: 24-bit mantissa =
         # 3 x 8; the one-hot is exact in bf16 and each output lane receives
         # exactly one product) — bit-identical to Precision.HIGHEST at half
@@ -448,48 +484,59 @@ def _select_kernel(
         r1 = rows - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        iref_flat = iref[0].reshape(1, groups * 128).astype(jnp.float32)
-        # The one-hot is built ONCE; the (chunk, G*128) compare + bf16
-        # convert is as expensive as the MXU dot itself.
-        oh1 = (sid == iref_flat).astype(jnp.bfloat16)  # (chunk, G*128)
-        if SELECT_SPLIT_DOTS:
-            # Three dots sharing the one-hot operand: skips the (3*chunk,
-            # G*128) bf16 one-hot concat (a real VMEM copy per chunk) at
-            # the cost of 2 extra (128, G*128) f32 adds. Bit-identical:
-            # the parts are disjoint 8-bit mantissa slices, so hi+mid+lo
-            # adds are exact regardless of order.
-            acc_all = None
-            for part in (hi, mid, lo):
-                d = jax.lax.dot_general(
-                    part,
-                    oh1,
+        # ONE dot per chunk x live bank: K stacks the 3 bf16 parts (the
+        # one-hot repeats per part), N concatenates the bank's pixel
+        # groups. The (chunk, N) compare + bf16 convert is as expensive as
+        # the MXU dot itself, so the skip removes both.
+        cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
+
+        def bank_dot(b):
+            ohb = (
+                sid == iref_f[:, b * gpb * 128 : (b + 1) * gpb * 128]
+            ).astype(jnp.bfloat16)  # (chunk, gpb*128)
+            if SELECT_SPLIT_DOTS:
+                # Three dots sharing the one-hot operand: skips the
+                # (3*chunk, N) bf16 one-hot concat at the cost of 2
+                # extra f32 adds. Bit-identical: the parts are disjoint
+                # 8-bit mantissa slices, so hi+mid+lo adds are exact
+                # regardless of order.
+                acc_b = acc_vmem[b]
+                for part in (hi, mid, lo):
+                    acc_b = acc_b + jax.lax.dot_general(
+                        part,
+                        ohb,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc_vmem[b] = acc_b
+            else:
+                onehot = jnp.concatenate([ohb, ohb, ohb], axis=0)
+                acc_vmem[b] = acc_vmem[b] + jax.lax.dot_general(
+                    cat,
+                    onehot,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                acc_all = d if acc_all is None else acc_all + d
-        else:
-            # ONE dot per chunk: K stacks the 3 bf16 parts (the one-hot
-            # repeats per part), N concatenates the pixel groups.
-            cat = jnp.concatenate([hi, mid, lo], axis=0)  # (3*chunk, 128)
-            onehot = jnp.concatenate([oh1, oh1, oh1], axis=0)
-            acc_all = jax.lax.dot_general(
-                cat,
-                onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (128, G*128)
-        return [
-            accs[s] + acc_all[:, 128 * s : 128 * (s + 1)] for s in range(groups)
-        ]
+                )  # (128, gpb*128)
+
+        smax = jnp.max(sid)
+        smin = jnp.min(jnp.where(kvalid, sid, jnp.float32(3e38)))
+        for b in range(nb):
+
+            @pl.when((bmaxs[b] >= smin) & (bmins[b] <= smax))
+            def _(b=b):
+                bank_dot(b)
+
+        return carry
 
     @pl.when(n > 0)
     def _():
         chunk_dma(0, 0).start()
 
-    accs = jax.lax.fori_loop(0, num_chunks, body, accs)
+    jax.lax.fori_loop(0, num_chunks, body, 0)
 
     for s in range(groups):
-        acc = accs[s]  # (128 row lanes, 128 pixels)
+        bi, gi = divmod(s, gpb)
+        acc = acc_vmem[bi][:, 128 * gi : 128 * (gi + 1)]  # (row lanes, pixels)
         py = py_base + float(s * ppr)
         # Perspective-correct barycentrics over the clipped corners
         # (same math as the deferred shade, pipeline.shade).
@@ -545,6 +592,7 @@ def select_interp_tiles(
     sublanes = tile_h * tile_w // 128
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)
 
+    nb = SELECT_BANKS if SELECT_BANKS > 1 and sublanes % SELECT_BANKS == 0 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -558,10 +606,12 @@ def select_interp_tiles(
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nb, 128, (sublanes // nb) * 128), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _select_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, chunk=chunk
+        _select_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        chunk=chunk, banks=nb,
     )
     out = pl.pallas_call(
         kernel,
