@@ -26,9 +26,13 @@ class RenderConfig:
     # Shadow map (ShadowMapPass::SIZE = 4000, shadow_map_pass.hpp:23).
     shadow_size: int = 4000
 
-    # Tile edge for the shadow pass (results are tile-size invariant; bigger
-    # tiles amortize per-tile kernel overhead over the 4000^2 target).
+    # Tile shape for the shadow pass (results are tile-size invariant;
+    # bigger tiles amortize per-tile kernel overhead over the 4000^2
+    # target). shadow_tile is the WIDTH; shadow_tile_h overrides the
+    # height (None = square) — shorter tiles halve the per-pair VPU work
+    # at the cost of more (tile, tri) pairs.
     shadow_tile: int = 64
+    shadow_tile_h: int | None = None
 
     # Screen tile shape for the binned rasterizer. Tiles are flattened
     # row-major into (tile_h*tile_w/128, 128) VMEM blocks, so tile_h*tile_w
@@ -44,16 +48,17 @@ class RenderConfig:
     raster_chunk: int = 128
 
     # Chunk size of the select+interp kernel's row stream. Its MXU dot cost
-    # is per-CHUNK fixed (a tile with 10 pairs pays a full chunk-row dot),
-    # so smaller chunks waste less on sparse tiles at the price of more
-    # dispatches on dense ones.
-    select_chunk: int = 64
+    # is per-CHUNK fixed (a tile with 10 pairs pays a full chunk-row dot);
+    # the chunk is also the winner-range skip granularity. With the skip,
+    # 128 measured best (tools/probe_select_chunk: 32/64/128/256 ->
+    # 5.04/4.83/4.35/5.06 ms select op) — the skip recovers what sparse
+    # tiles waste, and bigger chunks amortize the per-chunk fixed costs.
+    select_chunk: int = 128
 
     # Tiles processed per raster-kernel grid step: amortizes the ~1 us
     # per-step sequencing/writeback overhead over several (often sparsely
     # populated) tiles. Pure scheduling knob — results are invariant.
-    # (8 + select_chunk 64 measured best in the round-3 sweep,
-    # tools/probe_variants.py.)
+    # (8 measured best in the round-3 sweep, tools/probe_variants.py.)
     tiles_per_step: int = 8
 
     # Capacity of the (tile, triangle) pair buffer as a multiple of the

@@ -118,6 +118,7 @@ def _rasterize(
     width: int,
     config: RenderConfig,
     tile: int | None = None,
+    tile_h: int | None = None,
     kind: str = "cam",
 ):
     """Returns (zbuf, ibuf, pairs_used, pair_cap). The brute-force path has
@@ -130,8 +131,8 @@ def _rasterize(
     from arctic_tpu.ops import raster_tiles
 
     zbuf, ibuf, pairs = raster_tiles.rasterize_tiled(
-        setup, height, width, config, tile_h=tile, tile_w=tile, with_pairs=True,
-        kind=kind, depth_only=(kind == "shadow"),
+        setup, height, width, config, tile_h=tile_h or tile, tile_w=tile,
+        with_pairs=True, kind=kind, depth_only=(kind == "shadow"),
     )
     return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity, kind)
 
@@ -153,7 +154,8 @@ def shadow_pass(
     s = config.shadow_size
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
     zbuf, _, pairs, cap = _rasterize(
-        setup, s, s, config, tile=config.shadow_tile, kind="shadow"
+        setup, s, s, config, tile=config.shadow_tile,
+        tile_h=config.shadow_tile_h, kind="shadow",
     )
     return zbuf, pairs, cap
 
@@ -876,9 +878,11 @@ def measure_pair_counts(
             raster.near_clip_triangles(sh_clip, geom.indices, tri_valid),
             s, s, cull="front",
         )
+        sth = config.shadow_tile_h or config.shadow_tile
         stx = -(-s // config.shadow_tile)
+        sty = -(-s // sth)
         sh = binning.count_pairs(
-            sh_setup, stx, stx, config.shadow_tile, config.shadow_tile
+            sh_setup, stx, sty, config.shadow_tile, sth
         )
         return cam, sh
 

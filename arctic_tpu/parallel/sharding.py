@@ -76,10 +76,11 @@ def render_frame_sharded_stats(
     th, tw = config.tile_h, config.tile_w
     h, w, s = config.height, config.width, config.shadow_size
     st = config.shadow_tile
+    sth = config.shadow_tile_h or st
 
     cam_tile_rows = _round_up(-(-h // th), ndev)
     cam_rows_dev = cam_tile_rows // ndev
-    sh_tile_rows = _round_up(-(-s // st), ndev)
+    sh_tile_rows = _round_up(-(-s // sth), ndev)
     sh_rows_dev = sh_tile_rows // ndev
     sh_tiles_x = -(-s // st)
     vma = (AXIS,) if not config.force_bruteforce else ()
@@ -101,8 +102,8 @@ def render_frame_sharded_stats(
             sh_clipped = raster.near_clip_triangles(sh_clip, geom.indices, tri_valid)
             sh_setup = raster.setup_screen_triangles(sh_clipped, s, s, cull="front")
             sh_z, _ = raster.rasterize_bruteforce(
-                sh_setup, sh_rows_dev * st, s, config.raster_chunk,
-                y_offset=(d * sh_rows_dev * st).astype(jnp.float32),
+                sh_setup, sh_rows_dev * sth, s, config.raster_chunk,
+                y_offset=(d * sh_rows_dev * sth).astype(jnp.float32),
             )
             shadow_map = jax.lax.all_gather(sh_z, AXIS, axis=0, tiled=True)[:s, :s]
 
@@ -135,10 +136,10 @@ def render_frame_sharded_stats(
         sh_clipped = raster.near_clip_corners(sun_clip, tri_valid)
         sh_setup = raster.setup_screen_triangles(sh_clipped, s, s, cull="front")
         sh_zt, _, _, sh_pairs, _ = raster_tiles.bin_and_rasterize(
-            sh_setup, s, config, sh_tiles_x, sh_rows_dev, st, st,
+            sh_setup, s, config, sh_tiles_x, sh_rows_dev, sth, st,
             tile_row0=d * sh_rows_dev, vma=vma, kind="shadow", depth_only=True,
         )
-        sh_slab = raster_tiles._untile(sh_zt, sh_rows_dev, sh_tiles_x, st, st)
+        sh_slab = raster_tiles._untile(sh_zt, sh_rows_dev, sh_tiles_x, sth, st)
         sh_slab = sh_slab[:, :s]
         shadow_map = jax.lax.all_gather(sh_slab, AXIS, axis=0, tiled=True)[:s, :s]
 

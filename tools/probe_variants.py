@@ -128,6 +128,29 @@ def main():
         run("nofence_gbuf", base, fence_gbuf=False)
         run("nofence_rows", base, fence_rows=False)
         run("nofence_both", base, fence_rows=False, fence_gbuf=False)
+    elif batch == "r3k":
+        # Post pixel-block layout + select range-skip + chunk 128: the gbuf
+        # fence's relayout copy may have flipped sign, and the autotune
+        # margin sets binning's capacity-scaled cost (overflow stays loud:
+        # bench checks every frame).
+        run("base", base)
+        run("nofence_gbuf", base, fence_gbuf=False)
+        m115 = dataclasses.replace(
+            base, pair_cap_cam=None, pair_cap_shadow=None
+        )
+        m115 = pipeline.autotune_pair_caps(
+            bufs, [frame_params(i) for i in range(20)], m115, margin=1.15
+        )
+        run("margin115", m115)
+    elif batch == "r3l":
+        # Non-square shadow tiles: shorter tiles halve the per-pair VPU
+        # work (the kernel evaluates planes over the whole tile) at the
+        # cost of more pairs from tall-in-light-space triangles.
+        run("base", base)
+        run("shadow_32x64", dataclasses.replace(base, shadow_tile_h=32), retune=True)
+        run("shadow_16x64", dataclasses.replace(base, shadow_tile_h=16), retune=True)
+        run("shadow_32x128", dataclasses.replace(
+            base, shadow_tile=128, shadow_tile_h=32), retune=True)
     elif batch == "r3b":
         # Recorded: base 100.57, nofence_gbuf 100.76, assoc_scan 104.01,
         # pcf_fence rowfull/block/none 102.5/102.4/103.4 — defaults kept.
