@@ -31,9 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--width", type=int, default=1280)  # app.hpp:20
     r.add_argument("--height", type=int, default=720)  # app.hpp:21
     r.add_argument("--shadow-size", type=int, default=4000)  # shadow_map_pass.hpp:23
-    r.add_argument("--tm", choices=list(TM_NAMES), default="reinhard")
-    r.add_argument("--gamma", type=float, default=2.2)
-    r.add_argument("--exposure", type=float, default=1.0)
+    # Settings flags default to None so --load-state can tell "explicitly
+    # passed" from "defaulted": saved tm/gamma/exposure must survive a reload
+    # unless the user overrides them on the command line (app.cpp:454-493's
+    # Settings are fully runtime-mutable; ours round-trip through JSON).
+    r.add_argument(
+        "--tm", choices=list(TM_NAMES), default=None,
+        help="tonemap method (default reinhard, or the --load-state value)",
+    )
+    r.add_argument(
+        "--gamma", type=float, default=None,
+        help="gamma (default 2.2, or the --load-state value)",
+    )
+    r.add_argument(
+        "--exposure", type=float, default=None,
+        help="exposure (default 1.0, or the --load-state value)",
+    )
     r.add_argument(
         "--camera",
         help="x,y,z,pitch,yaw (default 0,5,0,0,0); use --camera=-14,4,0,-8,0 "
@@ -54,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--spot", action="append", default=[], metavar="X,Y,Z,R,G,B,AX,AY,AZ,IN,OUT",
         help="add a spotlight: position, color, axis, inner/outer cone degrees "
         "(opt-in; reference roadmap item). Repeatable.",
+    )
+    r.add_argument(
+        "--cache-sun", action="store_true",
+        help="render the shadow map once and reuse it across frames "
+        "(exact while sun + geometry are static, e.g. --orbit; the viewer "
+        "does the equivalent automatically via its sun-dirty flag)",
     )
     r.add_argument("--load-state", help="load camera/lights/settings JSON")
     r.add_argument("--save-state", help="write camera/lights/settings JSON after rendering")
@@ -122,10 +141,11 @@ def cmd_render(args) -> int:
         enable_debug_checks()
 
     params = default_scene_params(aspect=args.width / args.height)
+    settings = default_settings()
     if args.load_state:
         from arctic_tpu.utils.serialize import load_state
 
-        params, loaded_settings = load_state(args.load_state)
+        params, settings = load_state(args.load_state)
         params = dataclasses.replace(
             params,
             camera=dataclasses.replace(
@@ -158,12 +178,13 @@ def cmd_render(args) -> int:
             params, point_lights=PointLights.from_list(rows, spots=True)
         )
         config = dataclasses.replace(config, spotlights=True)
-    settings = dataclasses.replace(
-        default_settings(),
-        tm_method=jnp.int32(TM_NAMES[args.tm]),
-        gamma=jnp.float32(args.gamma),
-        exposure=jnp.float32(args.exposure),
-    )
+    # Explicitly-passed flags override the loaded (or default) settings.
+    if args.tm is not None:
+        settings = dataclasses.replace(settings, tm_method=jnp.int32(TM_NAMES[args.tm]))
+    if args.gamma is not None:
+        settings = dataclasses.replace(settings, gamma=jnp.float32(args.gamma))
+    if args.exposure is not None:
+        settings = dataclasses.replace(settings, exposure=jnp.float32(args.exposure))
 
     if not (args.raytrace or config.force_bruteforce):
         # Size the pair buffers to the scene (binning costs scale with
@@ -191,6 +212,17 @@ def cmd_render(args) -> int:
         mesh = sharding.make_mesh(args.devices)
         render = sharding.make_sharded_renderer(config, mesh)
         render_stats = sharding.make_sharded_renderer_stats(config, mesh)
+    elif args.cache_sun and not config.force_bruteforce:
+        import functools
+
+        sun_cache, cache_stats = jax.jit(
+            functools.partial(pipeline.build_sun_cache, config=config)
+        )(buffers, params)
+        pipeline.check_stats({**cache_stats, "cam_pairs": 0, "cam_pair_cap": 1})
+        cached = pipeline.make_cached_renderer_stats(config)
+        render_stats = lambda b, p, s: cached(b, p, s, sun_cache)  # noqa: E731
+        render = lambda b, p, s: cached(b, p, s, sun_cache)[0]  # noqa: E731
+        log.info("sun cache built (shadow map + window LUT reused per frame)")
     else:
         render = pipeline.make_renderer(config)
         render_stats = pipeline.make_renderer_stats(config)

@@ -20,11 +20,31 @@ from __future__ import annotations
 
 import base64
 import json
+import logging
 import os
 import struct
 from dataclasses import dataclass
 
 import numpy as np
+
+log = logging.getLogger("arctic.gltf")
+
+# Extensions this loader implements. Anything an asset lists in
+# `extensionsRequired` that is NOT here would be silently mis-parsed (e.g.
+# KHR_draco_mesh_compression geometry would read as garbage bytes), so the
+# loader fails loudly instead — the behavior Assimp gives the reference
+# (ReadFile returns null and App::load_scene aborts, app.cpp:177-185).
+SUPPORTED_EXTENSIONS: frozenset = frozenset()
+
+# glTF primitive.mode names for diagnostics (§3.7.2.1).
+_MODE_NAMES = {
+    0: "POINTS", 1: "LINES", 2: "LINE_LOOP", 3: "LINE_STRIP",
+    4: "TRIANGLES", 5: "TRIANGLE_STRIP", 6: "TRIANGLE_FAN",
+}
+
+
+class GltfUnsupportedError(RuntimeError):
+    """A required glTF feature this loader does not implement."""
 
 from arctic_tpu.io.build import MaterialImages, MeshData, fallback_diffuse, fallback_normal
 from arctic_tpu.io.images import load_ldr
@@ -193,6 +213,22 @@ def load_gltf(path: str):
     gltf = _load_container(path)
     doc = gltf.doc
 
+    # Fail-fast on assets we would otherwise mis-parse silently: a required
+    # extension (Draco compression, mesh quantization, ...) changes how the
+    # buffers themselves decode.
+    required = [
+        e for e in doc.get("extensionsRequired", []) if e not in SUPPORTED_EXTENSIONS
+    ]
+    if required:
+        raise GltfUnsupportedError(
+            f"{path}: asset requires unsupported glTF extensions "
+            f"{required} (extensionsRequired); refusing to mis-parse it"
+        )
+    used = [e for e in doc.get("extensionsUsed", []) if e not in SUPPORTED_EXTENSIONS]
+    if used:
+        # Optional extensions degrade gracefully per spec — warn, don't fail.
+        log.warning("%s: ignoring optional glTF extensions %s", path, used)
+
     materials = []
     for mat in doc.get("materials", [{}] ):
         pbr = mat.get("pbrMetallicRoughness", {})
@@ -221,8 +257,18 @@ def load_gltf(path: str):
     prim_index = {}  # (mesh_idx, prim_idx) -> flat index
     for mi, mesh in enumerate(doc.get("meshes", [])):
         for pi, prim in enumerate(mesh["primitives"]):
-            if prim.get("mode", 4) != 4:
-                continue  # non-triangle primitives aren't rendered
+            mode = prim.get("mode", 4)
+            if mode != 4:
+                # Non-triangle primitives aren't rendered (the reference only
+                # draws aiProcess_Triangulate output) — but say so: dropping
+                # geometry silently violates the fail-loud error philosophy
+                # (utils/errors.py).
+                log.warning(
+                    "%s: skipping mesh %d primitive %d with mode %d (%s) — "
+                    "only TRIANGLES are rendered",
+                    path, mi, pi, mode, _MODE_NAMES.get(mode, "unknown"),
+                )
+                continue
             attrs = prim["attributes"]
             pos = _accessor(gltf, attrs["POSITION"]).astype(np.float32)
             n = len(pos)

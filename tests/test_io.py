@@ -103,6 +103,60 @@ def test_gltf_roundtrip(tmp_path, use_glb):
     assert materials[0].metal_roughness[0, 0, 2] == 255
 
 
+def _rewrite_gltf(path, edit):
+    """Load the .gltf JSON, apply `edit(doc)`, write it back."""
+    doc = json.loads(path.read_text())
+    edit(doc)
+    path.write_text(json.dumps(doc))
+
+
+def test_gltf_extensions_required_raises(tmp_path):
+    """A required-but-unsupported extension must fail loudly, not mis-parse
+    (Assimp errors out and the reference aborts, app.cpp:177-185)."""
+    from arctic_tpu.io.gltf import GltfUnsupportedError
+
+    path = _make_test_gltf(tmp_path)
+    _rewrite_gltf(
+        path,
+        lambda d: d.update(
+            extensionsRequired=["KHR_draco_mesh_compression"],
+            extensionsUsed=["KHR_draco_mesh_compression"],
+        ),
+    )
+    with pytest.raises(GltfUnsupportedError, match="KHR_draco_mesh_compression"):
+        load_gltf(str(path))
+
+
+def test_gltf_optional_extension_warns(tmp_path, caplog):
+    import logging
+
+    path = _make_test_gltf(tmp_path)
+    _rewrite_gltf(path, lambda d: d.update(extensionsUsed=["KHR_materials_ior"]))
+    with caplog.at_level(logging.WARNING, logger="arctic.gltf"):
+        meshes, objects, materials = load_gltf(str(path))
+    assert len(meshes) == 1  # optional extensions degrade gracefully
+    assert any("KHR_materials_ior" in r.message for r in caplog.records)
+
+
+def test_gltf_non_triangle_primitive_warns(tmp_path, caplog):
+    """Non-triangle primitives are skipped (only TRIANGLES render) but the
+    drop must be LOUD — silent geometry loss violates the fail-fast rule."""
+    import logging
+
+    path = _make_test_gltf(tmp_path)
+
+    def add_lines(doc):
+        doc["meshes"][0]["primitives"].append(
+            {"attributes": {"POSITION": 0}, "indices": 3, "mode": 1}
+        )
+
+    _rewrite_gltf(path, add_lines)
+    with caplog.at_level(logging.WARNING, logger="arctic.gltf"):
+        meshes, objects, materials = load_gltf(str(path))
+    assert len(meshes) == 1  # the LINES primitive was skipped...
+    assert any("LINES" in r.message for r in caplog.records)  # ...loudly
+
+
 def test_obj_with_mtl(tmp_path):
     (tmp_path / "box.mtl").write_text(
         "newmtl red\nmap_Kd red.png\n"
