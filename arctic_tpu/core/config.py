@@ -87,6 +87,17 @@ class RenderConfig:
     # the interactive viewer keeps the dynamic loop.
     static_point_lights: int | None = None
 
+    # PCF penumbra classification (quant-LUT path): pixels whose whole
+    # 128-px row is provably fully-lit / fully-shadowed by the min/max
+    # shadow pyramid emit exact 0/1; only penumbra rows — compacted to this
+    # many — pay the per-pixel window gather + tap kernel (both issue-count
+    # bound). None = off (every pixel gathers, the pre-round-4 behavior).
+    # The gather cost scales with this CAPACITY (all cap rows issue), so
+    # size it to the scene: bench.py measures the fly-through's real rate.
+    # Overflow is loud: pipeline stats carry pcf_rows vs pcf_row_cap and
+    # check_stats raises, exactly like the pair buffers.
+    pcf_row_cap: int | None = None
+
     # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):
     # round shaded HDR values to f16 before the post-process pass.
     hdr_half_round: bool = True

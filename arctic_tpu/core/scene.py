@@ -158,6 +158,25 @@ class Settings:
 
 
 @_pytree_dataclass
+class SunCache:
+    """Shadow-map products that depend only on (geometry, sun) — cacheable
+    across frames while the camera flies (pipeline.build_sun_cache).
+
+    The reference re-renders its 4000^2 shadow map every frame because a GPU
+    rasterizes the scene in well under a millisecond; the TPU shadow chain
+    (binning + depth raster + window-LUT build) is ~10 ms of the frame, so a
+    real deployment keeps it cached and invalidates on sun/geometry edits —
+    the standard cached-shadow-map scheme production engines use for
+    stationary lights. Rendering with a cache is bit-for-bit the math of
+    rendering without one (the cached arrays are exactly what the in-frame
+    build produces)."""
+
+    shadow_map: jnp.ndarray  # (S, S) f32 depth
+    lutq: jnp.ndarray  # (N, 128) i32 quantized window LUT
+    pyramid: jnp.ndarray  # (M,) i32 packed min/max pyramid
+
+
+@_pytree_dataclass
 class Geometry:
     """All scene geometry flattened to SoA arrays, padded to static shapes.
 
@@ -253,6 +272,16 @@ class TextureAtlas:
     combined_env_rows: jnp.ndarray = None  # (ntex + n_env, 128)
     combined_shape: tuple = static_field(default=None)  # (AH, AW) of the atlas
     combined_slots: tuple = static_field(default=None)
+
+    # Reference-scale texture path (io.build.build_tile_atlas): u16-linear
+    # 4x8-texel tiles at grid stride (3, 7), 8 channels [diffuse RGB, normal
+    # XYZ, mr G, mr B] packed 2-per-i32-lane — ONE (128,) i32 row per tile,
+    # ~24 B/texel vs the quad scheme's ~96 (the 4 parity copies amortize to
+    # (4/3)(8/7) = 1.52x). The table merges env quads (f32 bit-viewed i32)
+    # at rows >= tiles_ntex so the texture+sky tap stays one gather.
+    # Per-material (row base, tiles per row, h, w) rides tri_matrow.
+    tiles: jnp.ndarray = None  # (N, 128) i32 merged [tex tiles; env rows]
+    tiles_ntex: int = static_field(default=0)
 
     @property
     def block_grid(self):

@@ -338,6 +338,14 @@ def shade(
     ``y0`` (traced ok) for sharded rendering.
     """
     geom = buffers.geometry
+    if buffers.atlas.tiles is not None:
+        from arctic_tpu.utils.errors import RenderError
+
+        raise RenderError(
+            "deferred/brute-force shading has no tile-atlas sampler (the "
+            "per-slot quad tables are skipped at reference texture scale — "
+            "they would be GBs); render with the fused path instead"
+        )
     h, w = ibuf.shape
     table = build_shade_table(setup, geom, buffers.atlas, world)
 
@@ -464,7 +472,10 @@ def shade_gbuffer(
     tiles_x: int,
     tile_row0=0,
     vma: tuple = (),
-) -> Array:
+    with_pcf_rows: bool = False,
+    sun_lut: Array | None = None,
+    sun_pyr: Array | None = None,
+):
     """forward.hlsl ps_main over the fused kernel's G-buffer, LANE-major.
 
     gbuf: (GBUF_LANES, R, 128) from ops.raster_tiles.raster_gbuffer —
@@ -542,7 +553,49 @@ def shade_gbuffer(
         and env_atlas.quads_packed is not None
         and atlas.combined_quads.dtype == env_atlas.quads_packed.dtype
     )
-    if merged_env:
+    if atlas.tiles is not None:
+        # Reference-scale texture path: ONE gather from the u16 tile table
+        # (see io.build.build_tile_atlas) serves a covered pixel's 8
+        # material channels, an uncovered pixel its env quad — the merged
+        # texture+environment structure at ~24 B/texel instead of the quad
+        # scheme's ~96 (which blows the ~96 MB gather cliff and HBM at
+        # Khronos-Sponza texture loads).
+        from arctic_tpu.ops.sampling import quad_index, tile_index, tile_tap_resolve
+
+        u_sky, v_sky = sky.env_uv_cf(dx, dy, dz)
+        trow, t_ty, t_tx, tfx, tfy = tile_index(
+            reg_lane(43, 0.0), reg_lane(44, 1.0), reg_lane(45, 1.0),
+            reg_lane(46, 1.0), u_uv, v_uv,
+        )
+        ereg = env_atlas.regions[0, 0]
+        eq, efx, efy = quad_index(
+            env_atlas.block_grid, ereg[0], ereg[1], ereg[2], ereg[3],
+            u_sky, v_sky,
+        )
+        idx = jnp.where(covered, trow, atlas.tiles_ntex + eq // 8)
+        shape = idx.shape
+        pn = 1
+        for d in shape:
+            pn *= d
+        pad = -pn % 4096
+
+        def flp(a):
+            return jnp.pad(a.reshape(-1), (0, pad))
+
+        row = atlas.tiles[flp(idx)]  # (P + pad, 128) i32
+        out16 = tile_tap_resolve(
+            row, flp(t_ty), flp(t_tx), flp(eq % 8),
+            flp(tfx), flp(tfy), flp(efx), flp(efy), vma=vma,
+        )
+        if pad:
+            out16 = out16[:, :pn]
+        out16 = out16.reshape(16, *shape)
+        base_color = out16[0:3]
+        nm = out16[3:6]
+        mr_g = out16[6]
+        mr_b = out16[7]
+        background = out16[8:11]
+    elif merged_env:
         # ONE gather serves texture AND sky: a covered pixel needs its
         # material quad, an uncovered one its environment quad — never
         # both, so the two 2M-row gathers collapse into one against a
@@ -663,8 +716,13 @@ def shade_gbuffer(
 
     # Sun shadow term (the sun is orthographic so light-space w == 1; the
     # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
-    shadow_f = shadow.pcf_shadow_proj(
-        shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma
+    # care=covered: uncovered pixels' shadow never reaches the output (the
+    # final where(covered) discards their color), so penumbra
+    # classification treats them as don't-care — sky rows classify free.
+    shadow_f, pcf_rows = shadow.pcf_shadow_proj(
+        shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma,
+        care=covered, row_cap=config.pcf_row_cap, with_rows=True,
+        lut=sun_lut, pyramid=sun_pyr,
     )
     lit = (1.0 - shadow_f)[None]  # (1, T, S)
 
@@ -726,7 +784,36 @@ def shade_gbuffer(
         background = jnp.stack(
             sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=0
         )
-    return jnp.where(covered[None], color, background)
+    out = jnp.where(covered[None], color, background)
+    return (out, pcf_rows) if with_pcf_rows else out
+
+
+def build_sun_cache(
+    buffers: SceneBuffers, params: SceneParams, config: RenderConfig
+):
+    """Render the sun's shadow map and precompute its per-frame derivatives
+    (quantized window LUT + min/max pyramid) — everything in the frame that
+    depends only on (geometry, sun). Returns (SunCache, stats).
+
+    Pass the cache to render_frame_stats to skip the whole shadow chain
+    while the sun and geometry are unchanged; re-run this when either is
+    edited (the viewer's sun-dirty flag, the CLI's --cache-sun orbit path).
+    The cached arrays are exactly what the in-frame build computes, so the
+    rendered pixels are unchanged.
+    """
+    from arctic_tpu.core.scene import SunCache
+
+    geom = buffers.geometry
+    sun_pv = params.sun.proj_view()
+    shadow_map, sh_pairs, sh_cap = shadow_pass(geom, sun_pv, config)
+    lutq, _ = shadow.build_window_lut_q(shadow_map)
+    pyr, _ = shadow.build_shadow_pyramid(shadow_map)
+    stats = {"shadow_pairs": sh_pairs, "shadow_pair_cap": jnp.int32(sh_cap)}
+    return SunCache(shadow_map=shadow_map, lutq=lutq, pyramid=pyr), stats
+
+
+def make_sun_cache_builder(config: RenderConfig):
+    return jax.jit(functools.partial(build_sun_cache, config=config))
 
 
 def render_frame_stats(
@@ -734,6 +821,7 @@ def render_frame_stats(
     params: SceneParams,
     settings: Settings,
     config: RenderConfig,
+    sun_cache=None,
 ):
     """render_frame + raster health scalars.
 
@@ -741,6 +829,9 @@ def render_frame_stats(
     pairs > cap means the binning buffer overflowed and fragments were
     DROPPED (the frame is visually incomplete). check_stats() makes that
     loud; bench.py and the CLI call it every run.
+
+    ``sun_cache`` (a build_sun_cache result) skips the shadow pass, LUT
+    build, and pyramid build; valid while sun + geometry are unchanged.
     """
     geom = buffers.geometry
     sun_pv = params.sun.proj_view()
@@ -755,10 +846,16 @@ def render_frame_stats(
 
     # named_scope = the frame graph's pass labels in HLO/profiler traces
     # (the Tracy zone analogue, SURVEY.md §5.1).
+    sun_lut = sun_pyr = None
     with jax.named_scope("shadow_pass"):
-        shadow_map, sh_pairs, sh_cap = shadow_pass(
-            geom, sun_pv, config, sun_clip=sun_clip
-        )
+        if sun_cache is None:
+            shadow_map, sh_pairs, sh_cap = shadow_pass(
+                geom, sun_pv, config, sun_clip=sun_clip
+            )
+        else:
+            shadow_map = sun_cache.shadow_map
+            sun_lut, sun_pyr = sun_cache.lutq, sun_cache.pyramid
+            sh_pairs, sh_cap = jnp.int32(0), 1  # can't overflow (cached)
 
     if fused:
         # Fused path: raster -> in-kernel select+interp (zero per-pixel
@@ -789,9 +886,10 @@ def render_frame_stats(
                 ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
         cam_cap = config.pair_capacity(setup.capacity)
         with jax.named_scope("forward_shade_skybox"):
-            hdr = shade_gbuffer(
+            hdr, pcf_rows = shade_gbuffer(
                 buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
-                tiles_x=config.tiles_x,
+                tiles_x=config.tiles_x, with_pcf_rows=True,
+                sun_lut=sun_lut, sun_pyr=sun_pyr,
             )
     else:
         world = vertex_world_positions(geom)
@@ -801,6 +899,7 @@ def render_frame_stats(
             )
         with jax.named_scope("forward_shade_skybox"):
             hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
+        pcf_rows = jnp.int32(0)  # classification is a fused-path feature
 
     with jax.named_scope("post_process"):
         if config.hdr_half_round:
@@ -825,8 +924,19 @@ def render_frame_stats(
         "cam_pair_cap": jnp.int32(cam_cap),
         "shadow_pairs": sh_pairs,
         "shadow_pair_cap": jnp.int32(sh_cap),
+        "pcf_rows": pcf_rows,
+        "pcf_row_cap": jnp.int32(pcf_row_capacity(config)),
     }
     return img, stats
+
+
+def pcf_row_capacity(config: RenderConfig) -> int:
+    """The compiled penumbra-row capacity for this config (1 = inactive —
+    pcf_rows is then always 0, mirroring the brute-force pair-cap report)."""
+    if config.pcf_row_cap is None or not config.fused_shade or config.force_bruteforce:
+        return 1
+    pn = config.num_tiles * config.tile_h * config.tile_w
+    return shadow.effective_row_cap(pn, config.pcf_row_cap)
 
 
 def check_stats(stats) -> None:
@@ -842,6 +952,15 @@ def check_stats(stats) -> None:
                 f"({pairs} pairs > capacity {cap}): fragments were dropped and "
                 f"the frame is incomplete. Raise RenderConfig.pairs_per_tri / "
                 f"pair_reserve."
+            )
+    if "pcf_rows" in stats:
+        rows = int(stats["pcf_rows"])
+        cap = int(stats["pcf_row_cap"])
+        if rows > cap:
+            raise RenderError(
+                f"PCF penumbra rows overflowed the compaction buffer "
+                f"({rows} rows > capacity {cap}): overflowing rows got another "
+                f"row's shadow values. Raise RenderConfig.pcf_row_cap."
             )
 
 
@@ -929,10 +1048,11 @@ def render_frame(
     params: SceneParams,
     settings: Settings,
     config: RenderConfig,
+    sun_cache=None,
 ) -> Array:
     """Full frame -> (H, W, 3) uint8. The TPU analogue of
     Renderer::render_frame (renderer.cpp:274-415), one XLA program."""
-    img, _ = render_frame_stats(buffers, params, settings, config)
+    img, _ = render_frame_stats(buffers, params, settings, config, sun_cache)
     return img
 
 
@@ -944,3 +1064,14 @@ def make_renderer(config: RenderConfig):
 def make_renderer_stats(config: RenderConfig):
     """Like make_renderer but returning (image, raster health stats)."""
     return jax.jit(functools.partial(render_frame_stats, config=config))
+
+
+def make_cached_renderer_stats(config: RenderConfig):
+    """Frame function taking a SunCache (see build_sun_cache): the per-frame
+    program contains NO shadow raster / LUT build — the camera-motion path
+    of an interactive session with a stationary sun."""
+
+    def f(buffers, params, settings, sun_cache):
+        return render_frame_stats(buffers, params, settings, config, sun_cache)
+
+    return jax.jit(f)

@@ -394,6 +394,168 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
     return lut.reshape(-1, 128), xb
 
 
+def lut_q_xb(s: int) -> int:
+    """Static x-block count of the quantized window LUT for an (s, s) map
+    (the xb build_window_lut_q returns), for consumers of a cached LUT."""
+    return _round_up(-(-(s + 4 + 3) // 128), 8)
+
+
+def pyramid_meta(s: int):
+    """Static (level, offset, width) triples of build_shadow_pyramid(s)."""
+    sp = s + 4
+    n = -(-sp // 4)
+    meta = []
+    off = 0
+    level = 2
+    while True:
+        meta.append((level, off, n))
+        off += n * n
+        if n == 1:
+            return tuple(meta)
+        n = -(-n // 2)
+        level += 1
+
+
+def build_shadow_pyramid(shadow_map: Array):
+    """Dilated min/max pyramid of the wrap-padded shadow map, u16-quantized
+    and packed (min | max << 16) into one flat i32 table.
+
+    Levels l = 2..top have cells of 2^l padded-map texels; each stored cell
+    is DILATED (the min/max over the 2x2 cell neighborhood [cy, cy+1] x
+    [cx, cx+1], edge-clamped), so any texel bbox that spans <= 2 cells per
+    axis at level l is bounded by the SINGLE cell (y0 >> l, x0 >> l) — one
+    scalar gather per query. Quantization is floor(clip(x*65535+0.5)), the
+    exact transform build_window_lut_q applies, and it is monotone, so
+    min/max commute with it: the packed bounds are exact bounds on the
+    quantized texels every PCF tap bilinearly filters.
+
+    Returns (table (N,) i32, meta) with meta a static tuple of
+    (level, offset, width) triples, finest first.
+    """
+    s = shadow_map.shape[0]
+    sp = s + 4
+    padded = jnp.pad(shadow_map, 2, mode="wrap")
+
+    def pool4(a, op, fill):
+        m = -(-sp // 4) * 4
+        p = jnp.pad(a, ((0, m - sp), (0, m - sp)), constant_values=fill)
+        return op(p.reshape(m // 4, 4, m // 4, 4), axis=(1, 3))
+
+    def pool2(a, op, fill):
+        n = a.shape[0]
+        if n % 2:
+            a = jnp.pad(a, ((0, 1), (0, 1)), constant_values=fill)
+            n += 1
+        return op(a.reshape(n // 2, 2, n // 2, 2), axis=(1, 3))
+
+    def dilate(a, op2):
+        # min/max with the next cell per axis, edge-replicated: cell c then
+        # bounds cells [c, c+1] — and a query only reads c+1 when it exists.
+        a = op2(a, jnp.concatenate([a[1:], a[-1:]], axis=0))
+        return op2(a, jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1))
+
+    def quant(x):
+        return jnp.floor(jnp.clip(x * 65535.0 + 0.5, 0.0, 65535.0)).astype(jnp.int32)
+
+    mins = [pool4(padded, jnp.min, 2.0)]
+    maxs = [pool4(padded, jnp.max, -1.0)]
+    while mins[-1].shape[0] > 1:
+        mins.append(pool2(mins[-1], jnp.min, 2.0))
+        maxs.append(pool2(maxs[-1], jnp.max, -1.0))
+
+    meta = pyramid_meta(s)
+    parts = []
+    for (level, off, n), mn, mx in zip(meta, mins, maxs):
+        packed = quant(dilate(mn, jnp.minimum)) | (
+            quant(dilate(mx, jnp.maximum)) << 16
+        )
+        assert packed.shape[0] == n, (packed.shape, n, level)
+        parts.append(packed.reshape(-1))
+    return jnp.concatenate(parts), meta
+
+
+def classify_pcf_rows(table, meta, start_y, start_x, z, care, sub=4, corners=2):
+    """Conservative PCF classification per 128/sub-pixel lane group.
+
+    start_y/start_x: (R, 128) padded-coords window origins (each pixel reads
+    texels [start, start+4) per axis); z: (R, 128) receiver depths; care:
+    (R, 128) pixels whose PCF value is consumed. Returns (lit, shd):
+    (R, sub) bools — a lit group has EVERY care pixel's 25 taps pass
+    (shadow raw 0.0), a shd group every tap fail (raw 25.0), both provable
+    from the pyramid bounds with a half-quantization-step margin that
+    swamps the tap loop's f32 lerp rounding (<= ~1e-6 vs 0.5/65535 =
+    7.6e-6). Groups with no care pixels classify lit (their values are
+    never consumed).
+
+    ``sub`` splits each row into sub lane groups classified independently
+    (tighter bboxes; a row mixing fully-lit and fully-shadowed groups still
+    classifies). ``corners`` cells are queried per axis at stride 2 (each
+    dilated cell covers 2): fit requires the bbox to span <= 2 * corners
+    cells, so corners=2 picks a level ~1 finer than corners=1 — 4 gathers
+    for ~2x tighter bounds per axis (probe_penumbra measures the rates).
+    """
+    r = start_y.shape[0]
+    g = 128 // sub
+    n = r * sub
+
+    def rs(a):
+        return a.reshape(n, g)
+
+    care = rs(care)
+    sy = rs(start_y)
+    sx = rs(start_x)
+    z = rs(z)
+    big = jnp.int32(1 << 30)
+    y0 = jnp.min(jnp.where(care, sy, big), axis=1)
+    y1 = jnp.max(jnp.where(care, sy, -1), axis=1) + 3
+    x0 = jnp.min(jnp.where(care, sx, big), axis=1)
+    x1 = jnp.max(jnp.where(care, sx, -1), axis=1) + 3
+    z_hi = jnp.max(jnp.where(care, z, -jnp.inf), axis=1)
+    z_lo = jnp.min(jnp.where(care, z, jnp.inf), axis=1)
+
+    # Finest level whose corners-cell dilated footprint covers the bbox.
+    span = 2 * corners - 1
+    idxs = [None] * (corners * corners)
+    have = None
+    for level, off, width in meta:
+        fits = ((y1 >> level) - (y0 >> level) <= span) & (
+            (x1 >> level) - (x0 >> level) <= span
+        )
+        cy0 = y0 >> level
+        cx0 = x0 >> level
+        nm1 = width - 1
+        for i in range(corners):
+            for j in range(corners):
+                cy = jnp.minimum(cy0 + 2 * i, nm1)
+                cx = jnp.minimum(cx0 + 2 * j, nm1)
+                idx_l = off + cy * width + cx
+                k = i * corners + j
+                idxs[k] = (
+                    idx_l if have is None else jnp.where(have, idxs[k], idx_l)
+                )
+        have = fits if have is None else have | fits
+
+    qmin = jnp.full((n,), 65536.0, jnp.float32)
+    qmax = jnp.full((n,), -1.0, jnp.float32)
+    for idx in idxs:
+        v = table[jnp.clip(idx, 0, table.shape[0] - 1)]
+        qmin = jnp.minimum(qmin, (v & 0xFFFF).astype(jnp.float32))
+        qmax = jnp.maximum(
+            qmax, jax.lax.shift_right_logical(v, 16).astype(jnp.float32)
+        )
+    dq = jnp.float32(1.0 / 65535.0)
+    lit = z_hi < (qmin - 0.5) * dq
+    shd = z_lo > (qmax + 0.5) * dq
+    return lit.reshape(r, sub), (shd & ~lit).reshape(r, sub)
+
+
+def effective_row_cap(pn: int, row_cap: int) -> int:
+    """The compacted-path row capacity actually compiled for ``pn`` pixels
+    (rounded to the Pallas block multiple, clamped to the row count)."""
+    rows = (pn + (-pn % 4096)) // 128
+    return min(rows, -(-row_cap // 32) * 32)
+
+
 def _pcf_resolve_kernel(rows_ref, cand_ref, xoff_ref, out_ref):
     """Window resolve for the quantized LUT: (bpx, 128) i32 gathered rows +
     per-pixel candidate (64 k2 + 4 yoff lane offset, as index k2 * 12 + yoff)
@@ -593,10 +755,32 @@ def pcf_shadow_proj(
     use_lut: bool | None = None,
     quant: bool | None = None,
     vma: tuple = (),
-) -> Array:
+    care: Array | None = None,
+    row_cap: int | None = None,
+    with_rows: bool = False,
+    lut: Array | None = None,
+    pyramid: Array | None = None,
+):
     """pcf_shadow on already-divided NDC components (channel-first callers
     pass the three (..., S) planes directly; the sun is orthographic so the
-    fused path's interpolated xyz needs no divide)."""
+    fused path's interpolated xyz needs no divide).
+
+    ``row_cap`` (quant-LUT path only) turns on min/max-pyramid penumbra
+    classification: pixels are viewed as 128-wide rows, rows provably
+    fully-lit / fully-shadowed emit exact 0/1 without touching the window
+    LUT, and only penumbra rows (compacted to ``row_cap`` rows — overflow
+    is loud via the returned count) pay the per-pixel window gather + tap
+    kernel. Bit-identical to the uncompacted path for every pixel whose
+    value is consumed. ``care`` marks consumed pixels (None = all);
+    don't-care pixels get unspecified finite values. ``with_rows`` also
+    returns the penumbra row count (check it against row_cap: more means
+    some penumbra rows got another row's values — raise, like pair
+    overflow).
+
+    ``lut``/``pyramid`` (quant-LUT path) inject cached build products (see
+    core.scene.SunCache): they MUST be build_window_lut_q /
+    build_shadow_pyramid outputs for this exact map — identical values by
+    construction, just not rebuilt per frame."""
     s = shadow_map.shape[0]
     assert shadow_map.shape == (s, s)
     u = x * 0.5 + 0.5
@@ -621,11 +805,17 @@ def pcf_shadow_proj(
     # 8M rows) once the LUT build is batched. The runs path remains for CPU
     # (pallas interpret mode is slow) — both are bit-identical (tested).
     if use_lut is None:
-        use_lut = jax.default_backend() == "tpu"
+        # row_cap implies the quant-LUT path (classification lives there);
+        # otherwise the runs path stays the CPU default (interpret-mode
+        # Pallas is slow).
+        use_lut = jax.default_backend() == "tpu" or row_cap is not None
     if quant is None:
         quant = PCF_QUANT
     if use_lut and quant:
-        lutq, xb = build_window_lut_q(shadow_map)
+        if lut is None:
+            lutq, xb = build_window_lut_q(shadow_map)
+        else:
+            lutq, xb = lut, lut_q_xb(s)
         jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
         jrow = jnp.where(outside, 0, jrow)
         # Flatten + pad to the kernel block, gather, then resolve the window
@@ -644,13 +834,63 @@ def pcf_shadow_proj(
         def fl(a):
             return jnp.pad(a.reshape(-1), (0, pad))
 
+        if row_cap is not None:
+            # Penumbra classification + 128-px-row compaction: the window
+            # gather is issue-count bound (~2 ns/row at any table size,
+            # probe_gather2/3), so the win comes from issuing FEWER rows —
+            # and compaction at 128-lane-row granularity costs only
+            # rows/128 cheap row gathers, not 2M per-pixel ones.
+            rows = (pn + pad) // 128
+            rowcap = effective_row_cap(pn, row_cap)
+            if pyramid is None:
+                pyr, meta = build_shadow_pyramid(shadow_map)
+            else:
+                pyr, meta = pyramid, pyramid_meta(s)
+
+            def f2(a, fill=0):
+                flat = a.reshape(-1)
+                return jnp.pad(flat, (0, pad), constant_values=fill).reshape(
+                    rows, 128
+                )
+
+            care2 = ~outside if care is None else (care & ~outside)
+            care2 = f2(care2, False)  # padding pixels are never consumed
+            lit, shd = classify_pcf_rows(
+                pyr, meta, f2(start_y), f2(start_x), f2(z), care2
+            )  # (rows, sub): per-lane-group verdicts
+            pen = ~jnp.all(lit | shd, axis=1)  # a row compacts whole
+            rows_used = jnp.sum(pen.astype(jnp.int32))
+            # Penumbra rows first, in original order (stable ascending).
+            order = jnp.argsort(jnp.where(pen, 0, 1), stable=True)[:rowcap]
+            args = [f2(a) for a in (k2, yoff, xoff, z, lx, ly)]
+            rowfull = lutq[f2(jrow)[order].reshape(-1)]
+            out = _pcf_eval(
+                rowfull, *(a[order].reshape(-1) for a in args),
+                step=step, vma=vma,
+            )
+            raw_c = out.reshape(rowcap, 128)
+            # Each penumbra row's rank in the compacted stream; classified
+            # rows read a clipped dummy (masked below). Ranks past rowcap
+            # mean overflow: those rows get WRONG values — the caller must
+            # treat rows_used > row_cap like pair-buffer overflow.
+            rank = jnp.clip(jnp.cumsum(pen.astype(jnp.int32)) - 1, 0, rowcap - 1)
+            sub = lit.shape[1]
+            class_lanes = jnp.repeat(
+                jnp.where(lit, 0.0, 25.0), 128 // sub, axis=1
+            )  # (rows, 128)
+            raw = jnp.where(pen[:, None], raw_c[rank], class_lanes)
+            shadow = raw.reshape(-1)[:pn].reshape(shape) / 25.0
+            shadow = jnp.where(outside, 0.0, shadow)
+            return (shadow, rows_used) if with_rows else shadow
+
         rowfull = lutq[fl(jrow)]  # (P + pad, 128) i32, one row per window
         out = _pcf_eval(
             rowfull, fl(k2), fl(yoff), fl(xoff), fl(z), fl(lx), fl(ly),
             step=step, vma=vma,
         )
         shadow = out[0, :pn].reshape(shape) / 25.0
-        return jnp.where(outside, 0.0, shadow)
+        shadow = jnp.where(outside, 0.0, shadow)
+        return (shadow, jnp.int32(0)) if with_rows else shadow
     elif use_lut:
         lutp, xb = build_window_lut(shadow_map)
         jrow, k2, yoff, xoff = window_row_index(start_y, start_x, xb)
@@ -748,4 +988,5 @@ def pcf_shadow_proj(
             closest = top + (bot - top) * fy
             shadow = shadow + jnp.where(z > closest, 1.0, 0.0)
     shadow = shadow / 25.0
-    return jnp.where(outside, 0.0, shadow)
+    shadow = jnp.where(outside, 0.0, shadow)
+    return (shadow, jnp.int32(0)) if with_rows else shadow

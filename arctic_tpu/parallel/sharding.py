@@ -125,7 +125,7 @@ def render_frame_sharded_stats(
             )
             img = tonemap.to_unorm8(ldr)
             zero = jnp.int32(0)
-            return img, zero, zero
+            return img, zero, zero, zero
 
         # --- fused path: the single-chip round-2 architecture per slab ---
         wc = pipeline.world_corners(geom)
@@ -158,9 +158,10 @@ def render_frame_sharded_stats(
             tile_row0=d * cam_rows_dev, tile_rows=cam_rows_dev, vma=vma,
         )
         ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
-        hdr = pipeline.shade_gbuffer(
+        hdr, pcf_rows = pipeline.shade_gbuffer(
             buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
             tiles_x=config.tiles_x, tile_row0=d * cam_rows_dev, vma=vma,
+            with_pcf_rows=True,
         )
         if config.hdr_half_round:
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)
@@ -175,7 +176,8 @@ def render_frame_sharded_stats(
         # semantics: ANY device overflowing is a dropped-fragment frame).
         cam_pairs = jax.lax.pmax(cam_pairs, AXIS)
         sh_pairs = jax.lax.pmax(sh_pairs.total_pairs, AXIS)
-        return img, cam_pairs, sh_pairs
+        pcf_rows = jax.lax.pmax(pcf_rows, AXIS)
+        return img, cam_pairs, sh_pairs, pcf_rows
 
     # check_vma=False is needed for the Pallas-tiled path in interpret mode
     # (jax 0.9's pallas interpreter mixes varying/unvarying internally);
@@ -184,13 +186,22 @@ def render_frame_sharded_stats(
         device_frame,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(), P(), P()),
         check_vma=check_vma,
     )
-    img, cam_pairs, sh_pairs = fn(buffers, params, settings)
+    img, cam_pairs, sh_pairs, pcf_rows = fn(buffers, params, settings)
     geom_cap = buffers.geometry.capacity
     # Brute-force capacity path reports 0/1 (can't overflow), like _rasterize.
     bf = config.force_bruteforce
+    if bf or config.pcf_row_cap is None:
+        pcf_cap = 1
+    else:
+        # Per-device slab pixel count sets the compiled compaction capacity.
+        from arctic_tpu.ops import shadow as shadow_ops
+
+        pcf_cap = shadow_ops.effective_row_cap(
+            cam_rows_dev * config.tiles_x * th * tw, config.pcf_row_cap
+        )
     stats = {
         "cam_pairs": cam_pairs,
         "cam_pair_cap": jnp.int32(1 if bf else config.pair_capacity(2 * geom_cap)),
@@ -198,6 +209,8 @@ def render_frame_sharded_stats(
         "shadow_pair_cap": jnp.int32(
             1 if bf else config.pair_capacity(2 * geom_cap, "shadow")
         ),
+        "pcf_rows": pcf_rows,
+        "pcf_row_cap": jnp.int32(pcf_cap),
     }
     return img[: config.height], stats
 

@@ -66,6 +66,83 @@ def test_fused_matches_bruteforce(scene_fn, eye, rot, lights):
     assert (diff > 0).mean() < 0.01
 
 
+def test_pcf_classify_pipeline_cap_invariant():
+    """The compiled penumbra-row capacity must not change a single pixel
+    (only padding rows of the compacted stream differ): full capacity vs a
+    tight-but-sufficient cap render bit-identically. Classification
+    correctness itself (classified == unclassified bits) is pinned at the
+    op level in test_window_lut."""
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _params(W / H, [0.0, 4.0, 3.0], [-25.0, -90.0],
+                [((0.0, 1.0, 0.0), (10.0, 0.0, 0.0))])
+    s = default_settings()
+
+    base = dict(width=W, height=H, shadow_size=SHADOW, fused_shade=True)
+    img_full, stats = pipeline.render_frame_stats(
+        bufs, p, s, RenderConfig(**base, pcf_row_cap=1 << 20)  # = every row
+    )
+    pipeline.check_stats(stats)
+    used = int(stats["pcf_rows"])
+    assert 0 < used < int(stats["pcf_row_cap"])  # classification fired
+    tight = -(-used // 32) * 32  # round to the compiled block multiple
+    img_tight, stats2 = pipeline.render_frame_stats(
+        bufs, p, s, RenderConfig(**base, pcf_row_cap=tight)
+    )
+    pipeline.check_stats(stats2)
+    np.testing.assert_array_equal(np.asarray(img_tight), np.asarray(img_full))
+
+
+def test_pcf_classify_overflow_raises():
+    """An undersized pcf_row_cap must fail loudly via check_stats."""
+    from arctic_tpu.utils.errors import RenderError
+
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _params(W / H, [0.0, 4.0, 3.0], [-25.0, -90.0])
+    s = default_settings()
+    _, stats = pipeline.render_frame_stats(
+        bufs, p, s,
+        RenderConfig(width=W, height=H, shadow_size=SHADOW, pcf_row_cap=32),
+    )
+    if int(stats["pcf_rows"]) > int(stats["pcf_row_cap"]):
+        with pytest.raises(RenderError, match="penumbra rows overflowed"):
+            pipeline.check_stats(stats)
+    else:
+        pytest.skip("scene fit in 32 rows — overflow not reachable here")
+
+
+def test_sun_cache_matches_uncached():
+    """render_frame_stats(sun_cache=...) must reproduce the uncached frame
+    (the cache holds exactly what the in-frame build computes), and a moved
+    sun with a REBUILT cache must change the image (no stale plumbing)."""
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _params(W / H, [0.0, 4.0, 3.0], [-25.0, -90.0],
+                [((0.0, 1.0, 0.0), (10.0, 0.0, 0.0))])
+    s = default_settings()
+    config = RenderConfig(
+        width=W, height=H, shadow_size=SHADOW, fused_shade=True, pcf_row_cap=4096
+    )
+
+    img_u, _ = pipeline.render_frame_stats(bufs, p, s, config)
+    cache, cstats = pipeline.build_sun_cache(bufs, p, config)
+    assert int(cstats["shadow_pairs"]) <= int(cstats["shadow_pair_cap"])
+    img_c, stats = pipeline.render_frame_stats(bufs, p, s, config, cache)
+    pipeline.check_stats(stats)
+    diff = np.abs(np.asarray(img_c).astype(int) - np.asarray(img_u).astype(int))
+    assert diff.max() <= 1, f"cached sun changed the frame by {diff.max()} LSB"
+
+    p2 = dataclasses.replace(
+        p, sun=dataclasses.replace(p.sun, rotation=jnp.asarray([-35.0, 80.0]))
+    )
+    cache2, _ = pipeline.build_sun_cache(bufs, p2, config)
+    img_c2, _ = pipeline.render_frame_stats(bufs, p2, s, config, cache2)
+    assert np.abs(
+        np.asarray(img_c2).astype(int) - np.asarray(img_c).astype(int)
+    ).max() > 4, "moving the sun with a rebuilt cache must change the frame"
+
+
 def test_ibl_specular_paths_agree():
     """Opt-in IBL specular (config.ibl_specular): fused channel-first and
     deferred implementations agree <=1 LSB, and the term visibly changes the
