@@ -183,6 +183,54 @@ def _round_up(x: int, m: int) -> int:
     return max((x + m - 1) // m * m, m)
 
 
+# Above this many combined texels the bf16 quad tables (~96 B/texel with the
+# 4 parity copies) blow past the ~96 MB gather cliff AND waste HBM; switch to
+# the u16 tile atlas (~24 B/texel, ops/sampling.py TILE_* geometry).
+TILE_ATLAS_THRESHOLD_TEXELS = 1_000_000
+
+
+def build_tile_atlas(images: Sequence[np.ndarray]):
+    """Per-material 8-channel images -> (tiles (N, 128) i32, meta (M, 4) i32).
+
+    images: one (h, w, 8) f32 array per material, channels [diffuse RGB
+    linear, normal XYZ, mr G, mr B]. Each image gets a 1-texel wrapped
+    border, is quantized to u16 (round-to-nearest — the same transform the
+    PCF LUT applies; <= 7.7e-6 per channel), and is cut into 4x8-texel
+    tiles on a (3, 7) grid so any bilinear 2x2 window lives in ONE tile.
+    Tile row lanes: ch2 * 32 + y * 8 + x holds channels 2*ch2 | 2*ch2+1<<16.
+    meta rows are (row base, tiles per row, h, w).
+    """
+    from arctic_tpu.ops.sampling import TILE_H, TILE_SX, TILE_SY, TILE_W
+
+    metas = np.zeros((len(images), 4), np.int32)
+    parts = []
+    base = 0
+    for mi, img in enumerate(images):
+        h, w = img.shape[:2]
+        q = np.floor(np.clip(img.astype(np.float32) * 65535.0 + 0.5, 0, 65535))
+        q = q.astype(np.uint32)
+        p = np.pad(q, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        nty, ntx = h // TILE_SY + 1, w // TILE_SX + 1
+        hp = TILE_SY * (nty - 1) + TILE_H
+        wp = TILE_SX * (ntx - 1) + TILE_W
+        p = np.pad(p, ((0, hp - p.shape[0]), (0, wp - p.shape[1]), (0, 0)))
+        sv = np.lib.stride_tricks.as_strided(
+            p,
+            shape=(nty, ntx, TILE_H, TILE_W, 8),
+            strides=(
+                p.strides[0] * TILE_SY, p.strides[1] * TILE_SX,
+                p.strides[0], p.strides[1], p.strides[2],
+            ),
+        )
+        t = np.ascontiguousarray(sv).reshape(nty * ntx, TILE_H, TILE_W, 8)
+        packed = t[..., 0::2] | (t[..., 1::2] << 16)  # (N, 4, 8, 4) u32
+        rows = packed.transpose(0, 3, 1, 2).reshape(-1, 128)
+        parts.append(rows.view(np.int32))
+        metas[mi] = (base, ntx, h, w)
+        base += nty * ntx
+    return np.concatenate(parts), metas
+
+
 def _pack_rows_128(rows: np.ndarray) -> np.ndarray:
     """(Q, L) -> (ceil(Q*L/128), 128) dense row packing (128 % L == 0)."""
     q, l = rows.shape
@@ -306,8 +354,46 @@ def build_buffers(
             mr_constant = False
         else:
             mr_consts[mi] = c
-    atlas_np, locs = pack_atlas(images)
-    regions = locs.reshape(len(materials), 3, 4)
+    # Reference-scale texture sets: the quad tables' ~96 B/texel (4 parity
+    # copies x 48 bf16 channels) is untenable past ~1M texels (e.g. Khronos
+    # Sponza's ~25 materials x 3 x 1K^2); switch to the u16 tile atlas
+    # (~24 B/texel, one gather row per pixel, ops/sampling.tile_index).
+    per_mat_hw = []
+    tile_ok = True
+    for mi in range(len(materials)):
+        group = [images[3 * mi + s] for s in range(3)]
+        konst = [(im == im.reshape(-1, im.shape[-1])[0]).all() for im in group]
+        dims = {im.shape[:2] for im, k in zip(group, konst) if not k}
+        if len(dims) > 1:
+            tile_ok = False
+            break
+        per_mat_hw.append(dims.pop() if dims else (1, 1))
+    total_texels = sum(h * w for h, w in per_mat_hw) if tile_ok else 0
+    use_tiles = tile_ok and total_texels > TILE_ATLAS_THRESHOLD_TEXELS
+
+    if use_tiles:
+        images8 = []
+        for mi, (h, w) in enumerate(per_mat_hw):
+            group = [
+                im if im.shape[:2] == (h, w)
+                else np.broadcast_to(im[0:1, 0:1], (h, w, 4))
+                for im in (images[3 * mi], images[3 * mi + 1], images[3 * mi + 2])
+            ]
+            images8.append(
+                np.concatenate(
+                    [group[0][..., :3], group[1][..., :3], group[2][..., 1:3]],
+                    axis=-1,
+                )
+            )
+        tiles_np, tile_meta = build_tile_atlas(images8)
+        # The per-slot quad atlas would be ~GBs here and only serves the
+        # deferred/debug path — skip it (shade() raises a clear error).
+        atlas_np = np.zeros((2, 2, 4), np.float32)
+        regions = np.zeros((len(materials), 3, 4), np.int32)
+    else:
+        tiles_np = tile_meta = None
+        atlas_np, locs = pack_atlas(images)
+        regions = locs.reshape(len(materials), 3, 4)
 
     # Combined-slot atlas: interleave each material's non-elided textures
     # into one multi-channel image so a pixel's material taps are ONE row
@@ -315,7 +401,9 @@ def build_buffers(
     # (a constant texture resampled to any size is bit-identical).
     slots = [0] + ([] if nm_constant else [1]) + ([] if mr_constant else [2])
     combined = None
-    if len(slots) > 1:
+    if use_tiles:
+        combined = False
+    elif len(slots) > 1:
         combined_imgs = []
         total_texels = 0
         for mi in range(len(materials)):
@@ -359,11 +447,14 @@ def build_buffers(
     # Per-triangle material row for the fused shade table:
     # [atlas regions (3 slots x (y,x,h,w)) | mr_consts | nm_consts[:3] |
     #  combined-atlas region (zeros when the combined path is off)].
-    c_reg = (
-        np.asarray(combined_kw["combined_regions"], np.float32)
-        if combined_kw
-        else np.zeros((len(materials), 4), np.float32)
-    )
+    if use_tiles:
+        # Tile path: the 4 "combined region" matrow lanes carry the
+        # material's tile-block address (base, ntx, h, w) instead.
+        c_reg = tile_meta.astype(np.float32)
+    elif combined_kw:
+        c_reg = np.asarray(combined_kw["combined_regions"], np.float32)
+    else:
+        c_reg = np.zeros((len(materials), 4), np.float32)
     matrow_by_mat = np.concatenate(
         [regions.reshape(len(materials), 12).astype(np.float32),
          mr_consts, nm_consts[:, :3], c_reg], axis=1,
@@ -391,6 +482,16 @@ def build_buffers(
         regions=jnp.asarray(env_locs.reshape(1, 1, 4)),
     )
     env = Environment(data=jnp.asarray(env_np), atlas=env_atlas)
+    if use_tiles:
+        # Merge env into the tile table (f32 quads bit-viewed as i32 rows;
+        # the resolve kernel bitcasts them back) so the texture+sky tap
+        # stays ONE gather per pixel.
+        env_rows = _pack_rows_128(env_quads.astype(np.float32)).view(np.int32)
+        atlas = _dc.replace(
+            atlas,
+            tiles=jnp.asarray(np.concatenate([tiles_np, env_rows])),
+            tiles_ntex=int(tiles_np.shape[0]),
+        )
     if combined:
         from arctic_tpu.ops.sampling import pack_tex_rows
 

@@ -231,13 +231,75 @@ def helmet_like_scene():
     return meshes, objects, materials, env
 
 
-def sponza_like_scene(columns=14, rng_seed=7):
+def noisy_texture(size, rng, base=(160, 150, 130), amp=60, freqs=(4, 16, 64)) -> np.ndarray:
+    """Multi-octave value-noise RGBA — content for reference-scale textures
+    (every texel distinct, so no constant-slot elision kicks in)."""
+    from PIL import Image
+
+    acc = np.zeros((size, size), np.float32)
+    for f in freqs:
+        g = rng.uniform(-1.0, 1.0, (f, f)).astype(np.float32)
+        im = Image.fromarray(((g + 1) * 127.5).astype(np.uint8)).resize(
+            (size, size), Image.BILINEAR
+        )
+        acc += (np.asarray(im).astype(np.float32) / 127.5 - 1.0) / len(freqs)
+    img = np.zeros((size, size, 4), np.uint8)
+    for c in range(3):
+        img[..., c] = np.clip(base[c] + amp * acc * (0.7 + 0.15 * c), 0, 255)
+    img[..., 3] = 255
+    return img
+
+
+def noisy_mr_texture(size, rng, metal=0.0, rough=0.6, amp=0.25) -> np.ndarray:
+    """Spatially-varying metal-roughness map (G=rough, B=metal)."""
+    r = noisy_texture(size, rng, base=(0, int(rough * 255), int(metal * 255)), amp=int(amp * 255))
+    out = np.zeros_like(r)
+    out[..., 1] = r[..., 1]
+    out[..., 2] = r[..., 2]
+    out[..., 3] = 255
+    return out
+
+
+def textured_materials(n_materials: int, texture_size: int, rng_seed=11):
+    """n reference-scale materials: diffuse/normal/MR at texture_size^2 each
+    (the load renderer.cpp:475-553 creates — three full textures uploaded
+    per material). All three slots spatially vary, so neither the nm/mr
+    constant elision nor the white-fallback path shrinks the working set."""
+    rng = np.random.default_rng(rng_seed)
+    mats = []
+    palette = [
+        (188, 165, 130), (170, 150, 140), (190, 180, 160), (160, 60, 50),
+        (90, 110, 150), (120, 140, 90), (200, 190, 120), (110, 90, 80),
+    ]
+    for i in range(n_materials):
+        base = palette[i % len(palette)]
+        mats.append(
+            MaterialImages(
+                diffuse=noisy_texture(texture_size, rng, base=base),
+                normal=bumpy_normal_texture(
+                    texture_size, freq=4 + (i % 5) * 7, strength=0.25 + 0.05 * (i % 4)
+                ),
+                metal_roughness=noisy_mr_texture(
+                    texture_size, rng,
+                    metal=(i % 4) * 0.3, rough=0.3 + (i % 5) * 0.15,
+                ),
+            )
+        )
+    return mats
+
+
+def sponza_like_scene(columns=14, rng_seed=7, texture_size=None, n_materials=24):
     """Benchmark scene with Sponza-scale structure (~0.26M triangles).
 
     A two-story colonnade hall: floor, walls, ceiling strips, two rows of
     fluted columns, hanging drapes (boxes), scattered clutter spheres. The
     point is matching the *load*: triangle count, many materials, large and
     small screen-space triangles, heavy occlusion.
+
+    ``texture_size`` (e.g. 1024) switches to ``n_materials`` reference-scale
+    materials (three texture_size^2 maps each — the real Khronos Sponza's
+    texture load, VERDICT r3 missing #2) assigned round-robin across object
+    instances; geometry is unchanged so benchmarks isolate the texture cost.
     """
     rng = np.random.default_rng(rng_seed)
     materials = [
@@ -289,4 +351,28 @@ def sponza_like_scene(columns=14, rng_seed=7):
         r = rng.uniform(0.3, 0.9)
         objects.append((transform((x, r, z), scale=(r, r, r)), 3))
     env = gradient_environment(256, 512)
+
+    if texture_size:
+        # Reference-scale texture load: swap in n_materials heavyweight
+        # materials and spread them across instances. Mesh material ids are
+        # per-mesh, so clone (mesh, material) variants as objects need them.
+        materials = textured_materials(n_materials, texture_size)
+        variants = {}
+        new_meshes = []
+        new_objects = []
+        for k, (trs, mesh_idx) in enumerate(objects):
+            mat = k % n_materials
+            key = (mesh_idx, mat)
+            if key not in variants:
+                m = meshes[mesh_idx]
+                variants[key] = len(new_meshes)
+                new_meshes.append(
+                    MeshData(
+                        positions=m.positions, normals=m.normals, uvs=m.uvs,
+                        indices=m.indices, material=mat,
+                        tangents=m.tangents, bitangents=m.bitangents,
+                    )
+                )
+            new_objects.append((trs, variants[key]))
+        meshes, objects = new_meshes, new_objects
     return meshes, objects, materials, env

@@ -48,6 +48,13 @@ def render_frame_rt(
 ) -> Array:
     """Full ray-traced frame -> (H, W, 3) uint8."""
     geom = buffers.geometry
+    if buffers.atlas.tiles is not None:
+        from arctic_tpu.utils.errors import RenderError
+
+        raise RenderError(
+            "ray-traced mode has no tile-atlas sampler yet (reference-scale "
+            "texture sets skip the per-slot quad tables); use the raster path"
+        )
     h, w = config.height, config.width
     eye = params.camera.eye
 

@@ -332,6 +332,118 @@ def pack_tex_rows(combined_quads: Array) -> Array:
     return rows
 
 
+# Tile-atlas geometry (reference-scale textures, io.build.build_tile_atlas):
+# 4x8-texel tiles on a (3, 7)-stride grid — every bilinear 2x2 window fits
+# the tile at (ys // 3, xs // 7) because ys % 3 <= 2 and xs % 7 <= 6.
+TILE_H, TILE_W = 4, 8
+TILE_SY, TILE_SX = 3, 7
+
+
+def tile_index(base, ntx, th, tw, u, v):
+    """-> (row, ty, tx, fx, fy): gather row + in-tile window origin for the
+    u16-packed tile atlas. Same ``t = uv * size - 0.5`` prologue and
+    per-texel WRAP as quad_index; (base, ntx) address the material's tile
+    block in the shared table."""
+    base = jnp.asarray(base).astype(jnp.int32)
+    ntx = jnp.asarray(ntx).astype(jnp.int32)
+    th = jnp.asarray(th).astype(jnp.int32)
+    tw = jnp.asarray(tw).astype(jnp.int32)
+    t_x = u * tw - 0.5
+    t_y = v * th - 0.5
+    ix0 = jnp.floor(t_x).astype(jnp.int32)
+    iy0 = jnp.floor(t_y).astype(jnp.int32)
+    fx = t_x - ix0
+    fy = t_y - iy0
+    ys = iy0 % th + 1  # +1: the wrapped border row
+    xs = ix0 % tw + 1
+    row = base + (ys // TILE_SY) * ntx + xs // TILE_SX
+    return row, ys % TILE_SY, xs % TILE_SX, fx, fy
+
+
+def _tile_tap_resolve_kernel(
+    rows_ref, ty_ref, tx_ref, eq_ref, tfx_ref, tfy_ref, efx_ref, efy_ref,
+    out_ref,
+):
+    """Texture+environment resolve for the tile atlas, in VMEM.
+
+    A gathered row is either a texture tile — lane ch2*32 + y*8 + x holds
+    u16 channels (2*ch2 | 2*ch2+1 << 16) of tile texel (y, x) — or an
+    environment row (8 bilinear quads of 16 f32 bit-viewed as i32). The
+    in-register transpose makes the (ty, tx) window select a sublane-slice
+    tree per channel pair (like _pcf_eval_kernel's candidate tree), texels
+    dequantize as q * (1/65535) (u16-linear storage: more precise than the
+    small-scene path's bf16 texels), and env lanes bitcast back to f32.
+    Emits (16, bpx): [0:8) texture channels, [8:12) env RGBA."""
+    x = rows_ref[...]  # (bpx, 128) i32
+    xt = jnp.swapaxes(x, 0, 1)  # (128, bpx)
+    ty = ty_ref[...]  # (1, bpx) in [0, 3)
+    tx = tx_ref[...]  # (1, bpx) in [0, 7)
+    tfx = tfx_ref[...]
+    tfy = tfy_ref[...]
+    dq = jnp.float32(1.0 / 65535.0)
+    outs = []
+    for c2 in range(4):
+        block = xt[32 * c2 : 32 * c2 + 32]  # (32, bpx): lanes y*8 + x
+        # Window rows [ty*8 ..]: one 3-way select leaves 16 sublanes that
+        # contain every tx candidate (tx + 9 <= 15).
+        w16 = jnp.where(
+            ty == 0, block[0:16],
+            jnp.where(ty == 1, block[8:24], block[16:32]),
+        )
+        taps = []
+        for off in (0, 1, 8, 9):  # c00, c10, c01, c11
+            t = w16[off : off + 1]
+            for k in range(1, 7):
+                t = jnp.where(tx == k, w16[off + k : off + k + 1], t)
+            taps.append(t)
+        c00, c10, c01, c11 = taps
+        for half in range(2):  # channels 2*c2 (low u16) and 2*c2+1 (high)
+            def ch(v):
+                q = (v & 0xFFFF) if half == 0 else jax.lax.shift_right_logical(v, 16)
+                return q.astype(jnp.float32) * dq
+
+            top = ch(c00) + (ch(c10) - ch(c00)) * tfx
+            bot = ch(c01) + (ch(c11) - ch(c01)) * tfx
+            outs.append(top + (bot - top) * tfy)
+    tex8 = jnp.concatenate(outs, axis=0)  # (8, bpx)
+
+    eq = eq_ref[...]
+    ewin_i = xt[0:16, :]
+    for kk in range(1, 8):
+        ewin_i = jnp.where(eq == kk, xt[16 * kk : 16 * kk + 16, :], ewin_i)
+    ewin = jax.lax.bitcast_convert_type(ewin_i, jnp.float32)
+    efx = efx_ref[...]
+    efy = efy_ref[...]
+    etop = ewin[0:4] + (ewin[4:8] - ewin[0:4]) * efx
+    ebot = ewin[8:12] + (ewin[12:16] - ewin[8:12]) * efx
+    env4 = etop + (ebot - etop) * efy
+    out_ref[...] = jnp.concatenate(
+        [tex8, env4, jnp.zeros((4, x.shape[0]), jnp.float32)], axis=0
+    )
+
+
+def tile_tap_resolve(rows, ty, tx, eqk, tfx, tfy, efx, efy, vma=()):
+    """(P, 128) gathered tile/env rows -> (16, P) f32: [0:8) the material's
+    texture channels (diffuse RGB, normal XYZ, mr G, mr B), [8:12) env."""
+    import functools  # noqa: F401
+
+    from jax.experimental import pallas as pl
+
+    p = rows.shape[0]
+    bpx = min(4096, p)
+    assert p % bpx == 0
+    args = [a.reshape(1, p) for a in (ty, tx, eqk, tfx, tfy, efx, efy)]
+    return pl.pallas_call(
+        _tile_tap_resolve_kernel,
+        grid=(p // bpx,),
+        in_specs=[pl.BlockSpec((bpx, 128), lambda i: (i, 0))]
+        + [pl.BlockSpec((1, bpx), lambda i: (0, i))] * 7,
+        out_specs=pl.BlockSpec((16, bpx), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, p), jnp.float32, vma=frozenset(vma)),
+        interpret=jax.default_backend() != "tpu",
+    )(rows, *args)
+
+
 def quad_index(block_grid, ry, rx, rh, rw, u, v):
     """Shared index math of the quad samplers -> (q, fx, fy).
 

@@ -13,10 +13,50 @@ path as argv[1] to bench a real asset instead.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def check_golden(img: np.ndarray, name: str, what: str, min_db: float = 40.0) -> None:
+    """PSNR gate against a committed golden image (docs/images/<name>).
+
+    The reference pins its expected output with README screenshots
+    (README.md:21-27); these committed goldens play the same role across
+    rounds — a visual regression fails the bench instead of slipping by.
+    """
+    path = os.path.join(_REPO, "docs", "images", name)
+    if os.environ.get("ARCTIC_BLESS"):
+        # Deliberate re-bless (tools/bless_goldens.py): write, don't compare.
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+        print(f"golden: BLESSED {name} from this {what}", file=sys.stderr)
+        return
+    if not os.path.exists(path):
+        print(f"golden: {name} not committed yet — skipping {what} check", file=sys.stderr)
+        return
+    from PIL import Image
+
+    with Image.open(path) as im:
+        gold = np.asarray(im.convert("RGB"), np.uint8)
+    if gold.shape != img.shape:
+        raise RuntimeError(
+            f"GOLDEN FAILURE: {what} shape {img.shape} != golden {gold.shape}"
+        )
+    mse = np.mean((img.astype(np.float64) - gold.astype(np.float64)) ** 2)
+    db = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+    if db < min_db:
+        raise RuntimeError(
+            f"GOLDEN FAILURE: {what} PSNR {db:.2f} dB < {min_db} dB vs "
+            f"committed {name} — visual regression (or a deliberate change: "
+            f"re-bless the golden)"
+        )
+    print(f"golden: {what} {db:.2f} dB >= {min_db} vs {name} OK", file=sys.stderr)
 
 
 def conformance_checks() -> None:
@@ -100,6 +140,7 @@ def conformance_checks() -> None:
 
     # 2. full tiled pipeline vs the independent float64 oracle.
     img = np.asarray(pipeline.render_frame(bufs, params, settings, config))
+    check_golden(img, "cornell_conformance_golden.png", "cornell conformance frame")
     tris, mats = golden.golden_scene(meshes, objects, materials)
     img_gold = golden.render(
         tris, mats, np.asarray(env, np.float64), cam, sun, lights,
@@ -165,7 +206,29 @@ def main() -> None:
 
     from arctic_tpu.io.load import load_scene_file
 
-    if len(sys.argv) > 1:
+    textured = "--textures" in sys.argv
+    if textured:
+        # Reference-scale texture load (VERDICT r3 missing #2): ~24 materials
+        # with three 1024^2 maps each — the real Khronos Sponza working set
+        # (renderer.cpp:475-553 uploads 3 full textures per material). Same
+        # geometry as the default metric, so the delta isolates texture cost.
+        # Routed through the u16 tile atlas (io/build.py) — the bf16 quad
+        # tables would be ~3 GB here. Asset-path round trip is skipped (the
+        # default metric covers the loader; 300 MB of PNG encode is not the
+        # thing being measured).
+        size = 1024
+        for a in sys.argv[2:]:
+            if a.isdigit():
+                size = int(a)
+        meshes, objects, materials, env = sponza_like_scene(
+            texture_size=size, n_materials=24
+        )
+        tex_mb = sum(
+            m.diffuse.nbytes + m.normal.nbytes + m.metal_roughness.nbytes
+            for m in materials
+        ) / 1e6
+        print(f"textured scene: 24 materials x 3 x {size}^2 ({tex_mb:.0f} MB raw)", file=sys.stderr)
+    elif len(sys.argv) > 1:
         meshes, objects, materials, env = load_scene_file(sys.argv[1])
     else:
         # Benchmark the ASSET path, not just procedural buffers: export the
@@ -274,21 +337,65 @@ def main() -> None:
     for rstats in all_stats:  # EVERY timed frame must be complete
         pipeline.check_stats(rstats)
 
-    # Side artifact for eyeballing (not part of the metric).
+    # --- Secondary metric: cached-sun fly-through -------------------------
+    # The reference re-renders its shadow map every frame because GPU
+    # rasterization makes that ~free; the TPU's shadow chain (binning +
+    # depth raster + window-LUT build) is a large frame fraction, so a real
+    # deployment caches it while sun + geometry are unchanged (standard
+    # stationary-light shadow caching) and invalidates on edits. Same
+    # pixels (test_sun_cache_matches_uncached); reported separately from
+    # the primary metric, which keeps re-rendering everything per frame.
+    cache, cache_stats = jax.jit(
+        lambda b, p: pipeline.build_sun_cache(b, p, config)
+    )(bufs, params)
+    pipeline.check_stats({**cache_stats, "cam_pairs": 0, "cam_pair_cap": 1})
+    render_cached = pipeline.make_cached_renderer_stats(config)
+    img_cc, rstats = render_cached(bufs, frames[0], settings, cache)
+    img_cc.block_until_ready()
+    pipeline.check_stats(rstats)
+    cached_stats = []
+    t0 = time.perf_counter()
+    for p in frames:
+        img_cc, rstats = render_cached(bufs, p, settings, cache)
+        cached_stats.append(rstats)
+    np.asarray(img_cc[:1, :1])  # hard sync
+    cached_fps = n_frames / (time.perf_counter() - t0)
+    for rstats in cached_stats:
+        pipeline.check_stats(rstats)
+    diff_c = np.abs(np.asarray(img_cc).astype(int) - np.asarray(img).astype(int))
+    if diff_c.max() > 1:
+        raise RuntimeError(
+            f"cached-sun frame differs from per-frame render by {diff_c.max()} LSB"
+        )
+    print(
+        f"cached-sun fly-through: {cached_fps:.2f} fps "
+        f"(static sun+geometry; frame matches full re-render to "
+        f"{diff_c.max()} LSB)",
+        file=sys.stderr,
+    )
+
+    # Side artifact for eyeballing (not part of the metric), plus the
+    # committed-golden gate: the final fly-through frame is pinned across
+    # rounds like the reference's README screenshots.
+    img_np = np.asarray(img)
     try:
         from PIL import Image
 
-        Image.fromarray(np.asarray(img)).save("bench_frame.png")
+        Image.fromarray(img_np).save("bench_frame.png")
     except Exception:
         pass
+    if len(sys.argv) <= 1:  # golden only applies to the default scene
+        check_golden(img_np, "bench_golden.png", "bench final frame")
 
+    tex_tag = f"_tex{size}" if textured else ""
     print(
         json.dumps(
             {
-                "metric": f"sponza_class_{n_tris // 1000}ktri_1080p_fps_{jax.default_backend()}",
+                "metric": f"sponza_class_{n_tris // 1000}ktri{tex_tag}_1080p_fps_{jax.default_backend()}",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 60.0, 4),
+                "cached_sun_fps": round(cached_fps, 3),
             }
         )
     )
