@@ -155,6 +155,17 @@ class ViewerState:
         self.last_time = time.perf_counter()
         self.stats = FrameStats()
 
+        # Sun-dirty shadow caching: while the sun (and geometry — static in
+        # the viewer) is unchanged, frames reuse the cached shadow map +
+        # window LUT (pipeline.build_sun_cache) and skip the whole shadow
+        # chain; editing the sun in the Settings window rebuilds it. The
+        # production equivalent of cached shadow maps for stationary lights.
+        self.sun_cache = None
+        self.sun_key = None
+        self._cache_builder = None
+        self._cached_render = None
+        self._cache_stats = {}
+
         from arctic_tpu.app.camera import FlyCamera
 
         self.fly = FlyCamera()
@@ -214,6 +225,8 @@ class ViewerState:
                         )
                     self.config = config
                     self.render = pipeline.make_renderer_stats(config)
+                    self.sun_cache = self.sun_key = None
+                    self._cache_builder = self._cached_render = None
                     self.params = dataclasses.replace(
                         self.params,
                         camera=dataclasses.replace(
@@ -275,7 +288,35 @@ class ViewerState:
                 tm_method=jnp.int32(int(f("tm", 0))),
             )
             self.stats.tick()
-            img, rstats = self.render(self.buffers, self.params, self.settings)
+            if not self.config.force_bruteforce:
+                key = (
+                    tuple(np.asarray(sun.position).tolist()),
+                    tuple(np.asarray(sun.rotation).tolist()),
+                )
+                if self._cache_builder is None:
+                    import functools
+
+                    import jax
+
+                    from arctic_tpu.models import pipeline
+
+                    self._cache_builder = jax.jit(
+                        functools.partial(pipeline.build_sun_cache, config=self.config)
+                    )
+                    self._cached_render = pipeline.make_cached_renderer_stats(
+                        self.config
+                    )
+                if key != self.sun_key:
+                    self.sun_cache, self._cache_stats = self._cache_builder(
+                        self.buffers, self.params
+                    )
+                    self.sun_key = key
+                img, rstats = self._cached_render(
+                    self.buffers, self.params, self.settings, self.sun_cache
+                )
+                rstats = {**rstats, **self._cache_stats}  # real shadow stats
+            else:
+                img, rstats = self.render(self.buffers, self.params, self.settings)
             img = np.asarray(img)
             self.stats.tick()
             # Camera/sun/lights are runtime-mutable, so a viewpoint can

@@ -153,3 +153,30 @@ def test_viewer_resolution_change():
     # bad input is ignored
     png, _ = state.step({"res": ["0x0"]})
     assert Image.open(_io.BytesIO(png)).size == (96, 64)
+
+
+def test_viewer_sun_cache_reuse_and_invalidation():
+    """The fused viewer renders through the sun cache: camera-only frames
+    reuse it, a sun edit rebuilds it (the app.cpp m_update_lights analogue
+    for the shadow chain)."""
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    state = viewer.ViewerState(
+        buffers,
+        default_scene_params(aspect=W / H),
+        default_settings(),
+        config,
+        pipeline.make_renderer_stats(config),
+    )
+    png, stats = state.step({})
+    assert png[:4] == b"\x89PNG"
+    assert state.sun_cache is not None
+    cache0 = state.sun_cache
+
+    png, _ = state.step({"f": ["1"]})  # camera-only: cache object reused
+    assert state.sun_cache is cache0
+
+    png, _ = state.step({"sun_rot": ["-35,80"]})  # sun edit: rebuilt
+    assert state.sun_cache is not cache0
