@@ -220,6 +220,15 @@ class Geometry:
     #    gather per triangle per frame)
     tri_static_attrs: jnp.ndarray = None  # (33, T) f32 [n, t, b, uv] row c*11+k
     tri_matrow: jnp.ndarray = None  # (23, T) f32 [regions 12, mr_c 4, nm_c 3, combined region 4]
+    # Slot-major static half of the fused shade-row table, precomputed at
+    # build time so the per-frame build streams it straight into the
+    # pack_shade_rows kernel instead of re-concatenating 56 of the 128
+    # table lanes every frame (the full-table stack was a 516 MB-traffic
+    # concatenate, ~1.1 ms at 1080p scene scale):
+    #   rows [0:33)  tri_static_attrs dup'd to clip-slot order ([tri; tri])
+    #   rows [33:56) tri_matrow dup'd likewise
+    # padded with zero columns to the table's 512-aligned slot capacity.
+    slot_static_rows: jnp.ndarray = None  # (56, NT) f32
 
     @property
     def capacity(self) -> int:

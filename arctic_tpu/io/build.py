@@ -461,8 +461,22 @@ def build_buffers(
     )  # (M, 23)
     import dataclasses as _dc
 
+    # Static half of the fused shade-row table (see Geometry.slot_static_rows
+    # / pipeline.build_shade_rows): attrs + material rows dup'd to clip-slot
+    # order ([primary tris; secondary tris]) and zero-padded to the table's
+    # 512-aligned capacity, so the per-frame table build only concatenates
+    # the genuinely per-frame planes.
+    matrow_tri = matrow_by_mat[tri_mat].T  # (23, cap)
+    n_total = _round_up(2 * cap + 1, 512)
+    slot_static = np.zeros((56, n_total), np.float32)
+    slot_static[0:33, 0:cap] = tri_static_attrs.reshape(-1, 33).T
+    slot_static[0:33, cap : 2 * cap] = slot_static[0:33, 0:cap]
+    slot_static[33:56, 0:cap] = matrow_tri
+    slot_static[33:56, cap : 2 * cap] = matrow_tri
     geometry = _dc.replace(
-        geometry, tri_matrow=jnp.asarray(matrow_by_mat[tri_mat].T.copy())
+        geometry,
+        tri_matrow=jnp.asarray(matrow_tri.copy()),
+        slot_static_rows=jnp.asarray(slot_static),
     )
 
     env_np = np.asarray(environment, np.float32)

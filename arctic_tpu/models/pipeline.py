@@ -263,6 +263,41 @@ def build_shade_rows(
         sc = corners_clip(wc, sun_pv)
         lsp = tuple(c[:3] for c in sc)  # sun is ortho: clip w == 1
 
+    if geom.slot_static_rows is not None:
+        # Hot path: the static 56 lanes (attrs + material rows) were dup'd
+        # to slot order at build time; only the genuinely per-frame planes
+        # (42 rows) are stacked here, and the pack_shade_rows kernel blends
+        # corners, scales the bary planes, synthesizes the slot-id lanes,
+        # and writes the transposed table in one streaming pass — replacing
+        # the full 128-lane stack (a 516 MB-traffic concatenate) with a
+        # bit-identical build at ~1/3 the HBM traffic.
+        from arctic_tpu.ops.raster_tiles import pack_shade_rows
+
+        n_total = -(-(p + 1) // 512) * 512
+        assert geom.slot_static_rows.shape == (56, n_total), (
+            geom.slot_static_rows.shape,
+            n_total,
+        )
+
+        def dup(a):  # tri-major (T,) -> slot-major (P,)
+            return jnp.concatenate([a, a])
+
+        rows = []
+        for c in range(3):
+            rows += list(setup.edges[c])  # [0:9) raw A,B,C per corner
+        rows += list(setup.zplane)  # [9:12)
+        rows += [setup.inv_area2 / setup.w[c] for c in range(3)]  # [12:15)
+        for c in range(3):
+            rows += [setup.cb[c][k] for k in range(3)]  # [15:24)
+        for k in range(3):
+            rows += [dup(x) for x in wc[k]]  # [24:33)
+        for k in range(3):
+            rows += [dup(x) for x in lsp[k]]  # [33:42)
+        n_pad = n_total - p
+        pf = jnp.stack([jnp.pad(a, (0, n_pad)) for a in rows], axis=0)
+        pf = jnp.concatenate([pf, jnp.zeros((6, n_total), jnp.float32)])
+        return pack_shade_rows(pf, geom.slot_static_rows, p, vma=vma)
+
     def dup(a):  # tri-major (T,) -> slot-major (P,)
         return jnp.concatenate([a, a])
 

@@ -175,6 +175,92 @@ def transpose_pack_rows(stacked: Array, bpx: int = 512, vma: tuple = ()) -> Arra
     )(stacked)
 
 
+def _pack_shade_rows_kernel(pf_ref, st_ref, out_ref, *, p: int, bpx: int):
+    """Synthesize one (bpx, 128) block of the fused shade-row table.
+
+    Inputs are component-major row stacks along the slot dim (see
+    pipeline.build_shade_rows for the lane map):
+      pf (48, bpx) per-frame planes: [0:9) raw edge coeffs A0,B0,C0,A1..,
+        [9:12) z plane, [12:15) inv_area2/w_c, [15:24) clip-corner blend
+        weights cb[c][k] at 15+3c+k, [24:33) world corners wc[k][i] at
+        24+3k+i, [33:42) light-space corners at 33+3k+r, [42:48) zero pad.
+      st (56, bpx) static rows: [0:33) tri_static_attrs (corner-major
+        k*11+j), [33:56) material row — both already in slot order.
+    The kernel blends corner attributes through cb, scales the edge planes
+    by inv_area2/w (the perspective-bary planes), synthesizes the slot-id
+    lanes from an iota (rows >= p get -2.0 at lane 9 / 0.0 at lane 124,
+    matching the old padded-stack fills), assembles the 128-lane component
+    matrix in-register, and writes its transpose — killing the old build's
+    516 MB full-table concatenate and the static lanes' per-frame traffic.
+
+    Exactness: the raster-plane lanes ([0:16) ebw/sid and [112:128)) are
+    bit-identical to the stacked build (pure pass-through and same-operand
+    products), so tiled-vs-bruteforce ibuf equality is unaffected. The
+    blended corner-attribute lanes use the same expressions in the same
+    order, but compiler-chosen FMA contraction may differ from the XLA
+    fusion's, so they can move by ~1 ulp on VALID slots (clip blend weights
+    are bounded there; measured max rel 3.8e-7, rendered frame 0 LSB vs the
+    stacked build on the conformance scene). Invalid slots can hold large
+    junk where degenerate clip weights no longer cancel exactly — they are
+    never binned, so no consumer reads them.
+    """
+    i = pl.program_id(0)
+    pf = pf_ref[...]
+    st = st_ref[...]
+    edges = pf[0:9]
+    zpl = pf[9:12]
+    sw = pf[12:15]
+    wcd = pf[24:33]
+    ebw = jnp.concatenate(
+        [edges[3 * c : 3 * c + 3] * sw[c : c + 1] for c in range(3)], axis=0
+    )
+    gid = jax.lax.broadcasted_iota(jnp.int32, (1, bpx), 1) + i * bpx
+    gidf = gid.astype(jnp.float32)
+    valid = gid < p
+    sid9 = jnp.where(valid, gidf, -2.0)
+    sid124 = jnp.where(valid, gidf, 0.0)
+
+    def z(k):
+        return jnp.zeros((k, bpx), jnp.float32)
+
+    groups = []
+    for c in range(3):
+        cb0 = pf[15 + 3 * c : 16 + 3 * c]
+        cb1 = pf[16 + 3 * c : 17 + 3 * c]
+        cb2 = pf[17 + 3 * c : 18 + 3 * c]
+        ca_w = cb0 * wcd[0:3] + cb1 * wcd[3:6] + cb2 * wcd[6:9]
+        ca_sa = cb0 * st[0:11] + cb1 * st[11:22] + cb2 * st[22:33]
+        ca_ls = cb0 * pf[33:36] + cb1 * pf[36:39] + cb2 * pf[39:42]
+        groups.append(jnp.concatenate([ca_w, ca_sa, ca_ls, z(7)], axis=0))
+    m = jnp.concatenate(
+        [ebw, sid9, z(6)] + groups + [st[33:56], z(1), edges, zpl, sid124, z(3)],
+        axis=0,
+    )  # (128, bpx) component-major
+    out_ref[...] = jnp.swapaxes(m, 0, 1)
+
+
+def pack_shade_rows(
+    pf: Array, stat: Array, p: int, bpx: int = 512, vma: tuple = ()
+) -> Array:
+    """(48, N) per-frame planes + (56, N) static rows -> (N, 128) table."""
+    n = pf.shape[1]
+    assert pf.shape[0] == 48 and stat.shape == (56, n) and n % bpx == 0, (
+        pf.shape,
+        stat.shape,
+    )
+    return pl.pallas_call(
+        functools.partial(_pack_shade_rows_kernel, p=p, bpx=bpx),
+        grid=(n // bpx,),
+        in_specs=[
+            pl.BlockSpec((48, bpx), lambda i: (0, i)),
+            pl.BlockSpec((56, bpx), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32, vma=frozenset(vma)),
+        interpret=_interpret(),
+    )(pf, stat)
+
+
 def _raster_kernel(
     # scalar prefetch
     seg_start_ref,

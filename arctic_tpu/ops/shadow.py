@@ -246,7 +246,7 @@ def _select_mats_q() -> jnp.ndarray:
     return jnp.asarray(s)
 
 
-def _lut_kernel_q(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
+def _lut_kernel_q(in1_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
     # One grid step builds the 16-row blocks for 4 consecutive qy rows
     # (y-stride 12 -> 48 shared source rows + 16-row block tail = 56-row
     # slab, 8-aligned starts at 48*step). Each block is built in two 8-row
@@ -255,29 +255,36 @@ def _lut_kernel_q(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
     # accumulators (4xb, 512) -> quantize to u16 range and pack two texels
     # per i32 lane elementwise (Mosaic has no f32->u32 cast; the i32 bit
     # pattern is identical and consumers use logical shifts).
+    #
+    # The input is ONE unshifted (yp, xb, 128) view of the padded map; the
+    # stride-4 x-parity view (sx == 1) is derived in-register by a 4-lane
+    # shift with an xb-chunk carry. The second pre-shifted HBM copy this
+    # replaces cost a 139 MB pad/stack chain + relayout copies per frame
+    # (~1.0 ms) and doubled the slab DMA traffic.
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     total = pl.num_programs(0) * pl.num_programs(1)
     slot = jax.lax.rem(step, 2)
 
-    def dma(st, sl, sx):
+    def dma(st, sl):
         return pltpu.make_async_copy(
-            in2_hbm.at[sx, pl.ds(48 * st, 56)],
-            slab.at[sl, sx],
-            sems.at[sl, sx],
+            in1_hbm.at[pl.ds(48 * st, 56)],
+            slab.at[sl],
+            sems.at[sl],
         )
 
     @pl.when(step == 0)
     def _():
-        dma(step, slot, 0).start()
-        dma(step, slot, 1).start()
+        dma(step, slot).start()
 
     @pl.when(step + 1 < total)
     def _():
-        dma(step + 1, 1 - slot, 0).start()
-        dma(step + 1, 1 - slot, 1).start()
+        dma(step + 1, 1 - slot).start()
 
-    dma(step, slot, 0).wait()
-    dma(step, slot, 1).wait()
+    dma(step, slot).wait()
+
+    def shift4(v):  # (xb, 128): columns of the flat (xb*128) row moved -4
+        carry = jnp.concatenate([v[1:, 0:4], jnp.zeros((1, 4), v.dtype)], axis=0)
+        return jnp.concatenate([v[:, 4:], carry], axis=1)
 
     packed = []  # [sx][h] -> (4 * xb, 512) i32
     for sx in range(2):
@@ -293,8 +300,9 @@ def _lut_kernel_q(in2_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
                 for _ in range(2)
             ]  # accs[eo][part]
             for r in range(8):
+                base = [slab[slot, 12 * jj + 8 * h + r] for jj in range(4)]
                 x = jnp.concatenate(
-                    [slab[slot, sx, 12 * jj + 8 * h + r] for jj in range(4)],
+                    base if sx == 0 else [shift4(v) for v in base],
                     axis=0,
                 )  # (4 * xb, 128)
                 xq = jnp.floor(jnp.clip(x * 65535.0 + 0.5, 0.0, 65535.0))
@@ -364,10 +372,11 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
     sqg = -(-qn_y // (4 * jb_count))
     total_steps = sqg * jb_count
     yp = 48 * total_steps + 8
-    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 + 7 - sp)))
-    in2 = jnp.stack(
-        [padded2[:, 4 * sx : 4 * sx + xb * 128].reshape(yp, xb, 128) for sx in range(2)]
-    )
+    # ONE unshifted padded view; the kernel derives the stride-4 x-parity
+    # view in-register (columns past xb*128 are zero pad — sp << xb*128 —
+    # so the shift's tail carry of zeros matches the old wider pad).
+    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 - sp)))
+    in1 = padded2.reshape(yp, xb, 128)
 
     lut = pl.pallas_call(
         functools.partial(_lut_kernel_q, xb=xb),
@@ -386,11 +395,11 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
             (total_steps, 4 * 16 * xb, 128), jnp.int32, vma=frozenset()
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 56, xb, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 56, xb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(in2, _select_mats_q())
+    )(in1, _select_mats_q())
     return lut.reshape(-1, 128), xb
 
 

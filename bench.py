@@ -381,7 +381,9 @@ def main() -> None:
     try:
         from PIL import Image
 
-        Image.fromarray(img_np).save("bench_frame.png")
+        Image.fromarray(img_np).save(
+            "bench_frame_tex.png" if textured else "bench_frame.png"
+        )
     except Exception:
         pass
     if len(sys.argv) <= 1:  # golden only applies to the default scene

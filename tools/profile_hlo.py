@@ -69,13 +69,20 @@ def main():
     from arctic_tpu.io.procedural import sponza_like_scene
     from arctic_tpu.models import pipeline
 
-    res = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    res = args[0] if args else "1920x1080"
     W, H = map(int, res.split("x"))
-    shadow_size = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    shadow_size = int(args[1]) if len(args) > 1 else 4000
     config = RenderConfig(width=W, height=H, shadow_size=shadow_size)
-    print(f"backend={jax.default_backend()} {W}x{H} shadow={shadow_size}", flush=True)
+    textured = "--textures" in sys.argv
+    print(
+        f"backend={jax.default_backend()} {W}x{H} shadow={shadow_size}"
+        f" textured={textured}",
+        flush=True,
+    )
 
-    meshes, objects, materials, env = sponza_like_scene()
+    scene_kw = dict(texture_size=1024, n_materials=24) if textured else {}
+    meshes, objects, materials, env = sponza_like_scene(**scene_kw)
     bufs = build_buffers(meshes, objects, materials, env)
     base = default_scene_params(aspect=W / H)
 
