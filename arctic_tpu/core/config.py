@@ -106,6 +106,16 @@ class RenderConfig:
     # the binned pipeline. Only sane for tiny frames/tests.
     force_bruteforce: bool = False
 
+    # Sun-frustum shadow culling (ops/cull.py): skip shadow-map tiles
+    # outside the light-space bounds of (camera frustum ∩ scene AABB) —
+    # no shaded pixel's PCF window can read them, so the frame is
+    # BIT-IDENTICAL (tests/test_cull.py pins it). Applies to the per-frame
+    # fused path only; sun caches always render the full map (they must
+    # stay valid as the camera moves). The reference renders the full
+    # 4000² map every frame (shadow_map_pass.cpp) — this is a pure
+    # TPU-side work reduction.
+    sun_frustum_cull: bool = True
+
     # Fused shading: resolve per-pixel shading inputs inside a per-tile
     # Pallas kernel (exact one-hot MXU selection over the tile's triangle
     # list) instead of per-pixel XLA gathers from a shade table. Requires

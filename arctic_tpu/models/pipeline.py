@@ -120,6 +120,7 @@ def _rasterize(
     tile: int | None = None,
     tile_h: int | None = None,
     kind: str = "cam",
+    rect=None,
 ):
     """Returns (zbuf, ibuf, pairs_used, pair_cap). The brute-force path has
     no pair buffer, so it can never overflow (reported as 0/1)."""
@@ -132,13 +133,14 @@ def _rasterize(
 
     zbuf, ibuf, pairs = raster_tiles.rasterize_tiled(
         setup, height, width, config, tile_h=tile_h or tile, tile_w=tile,
-        with_pairs=True, kind=kind, depth_only=(kind == "shadow"),
+        with_pairs=True, kind=kind, depth_only=(kind == "shadow"), rect=rect,
     )
     return zbuf, ibuf, pairs, config.pair_capacity(setup.capacity, kind)
 
 
 def shadow_pass(
-    geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip=None
+    geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip=None,
+    cull_rect=None,
 ) -> Array:
     """Depth-only pass from the sun's view (shadow_map_pass.cpp:113-169).
 
@@ -146,6 +148,11 @@ def shadow_pass(
     cleared to 1.0 and keeps z of the nearest *back* faces. ``sun_clip``
     (tri-major corner clip components, see corners_clip) may be passed in to
     share the transform with the shade-row build.
+
+    ``cull_rect`` — inclusive shadow-TILE rect from cull.shadow_cull_rect —
+    skips binning/rasterizing tiles no shaded pixel's PCF window can read
+    (texels there keep the 1.0 clear). In-rect tiles get identical pair
+    lists, so sampled texels — and the frame — are bit-identical.
     """
     if sun_clip is None:
         sun_clip = corners_clip(world_corners(geom), sun_pv)
@@ -155,9 +162,38 @@ def shadow_pass(
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
     zbuf, _, pairs, cap = _rasterize(
         setup, s, s, config, tile=config.shadow_tile,
-        tile_h=config.shadow_tile_h, kind="shadow",
+        tile_h=config.shadow_tile_h, kind="shadow", rect=cull_rect,
     )
     return zbuf, pairs, cap
+
+
+def scene_aabb(wc, tri_valid):
+    """World AABB ((3,) lo, (3,) hi) of the valid triangles' corners."""
+    los, his = [], []
+    for i in range(3):
+        planes = [wc[c][i] for c in range(3)]
+        los.append(
+            jnp.min(
+                jnp.stack([jnp.min(jnp.where(tri_valid, p, jnp.inf)) for p in planes])
+            )
+        )
+        his.append(
+            jnp.max(
+                jnp.stack([jnp.max(jnp.where(tri_valid, p, -jnp.inf)) for p in planes])
+            )
+        )
+    return jnp.stack(los), jnp.stack(his)
+
+
+def sun_cull_rect(wc, tri_valid, cam_pv, sun_pv, config: RenderConfig):
+    """Conservative shadow-tile rect for shadow_pass (ops/cull.py)."""
+    from arctic_tpu.ops import cull
+
+    lo, hi = scene_aabb(wc, tri_valid)
+    sth = config.shadow_tile_h or config.shadow_tile
+    return cull.shadow_cull_rect(
+        cam_pv, sun_pv, lo, hi, config.shadow_size, sth, config.shadow_tile
+    )
 
 
 def main_pass(
@@ -884,8 +920,12 @@ def render_frame_stats(
     sun_lut = sun_pyr = None
     with jax.named_scope("shadow_pass"):
         if sun_cache is None:
+            cull_rect = None
+            if config.sun_frustum_cull and fused:
+                tri_valid0 = jnp.arange(geom.capacity) < geom.num_tris
+                cull_rect = sun_cull_rect(wc, tri_valid0, cam_pv, sun_pv, config)
             shadow_map, sh_pairs, sh_cap = shadow_pass(
-                geom, sun_pv, config, sun_clip=sun_clip
+                geom, sun_pv, config, sun_clip=sun_clip, cull_rect=cull_rect
             )
         else:
             shadow_map = sun_cache.shadow_map
@@ -1035,8 +1075,17 @@ def measure_pair_counts(
         sth = config.shadow_tile_h or config.shadow_tile
         stx = -(-s // config.shadow_tile)
         sty = -(-s // sth)
+        rect = None
+        if config.sun_frustum_cull and config.fused_shade:
+            # Match render_frame_stats' culled shadow binning so the tuned
+            # cap reflects the pairs actually generated.
+            wc = world_corners(geom)
+            rect = sun_cull_rect(
+                wc, tri_valid, params.camera.proj_view(),
+                params.sun.proj_view(), config,
+            )
         sh = binning.count_pairs(
-            sh_setup, stx, sty, config.shadow_tile, sth
+            sh_setup, stx, sty, config.shadow_tile, sth, rect=rect
         )
         return cam, sh
 

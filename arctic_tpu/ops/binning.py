@@ -88,8 +88,16 @@ def _tile_footprints(
     tile_w: int,
     tile_h: int,
     tile_row0=0,
+    rect=None,
 ):
-    """Per-slot tile bbox + pair counts: (counts, tx0, ty0, w)."""
+    """Per-slot tile bbox + pair counts: (counts, tx0, ty0, w).
+
+    ``rect`` (rx0, ry0, rx1, ry1) — traced inclusive GLOBAL tile coords —
+    intersects every slot's tile bbox (sun-frustum shadow culling,
+    ops/cull.py): pairs for tiles outside the rect are never generated, and
+    in-rect tiles receive exactly the same pair list in the same order.
+    An empty rect (rx1 < rx0) culls everything.
+    """
     x0, y0, x1, y1 = setup.bbox
     valid = setup.valid
 
@@ -101,6 +109,15 @@ def _tile_footprints(
     ty1 = jnp.minimum(
         ((y1 - 1e-3) / tile_h).astype(jnp.int32) - tile_row0, tiles_y - 1
     )
+
+    if rect is not None:
+        rx0, ry0, rx1, ry1 = rect
+        tx0 = jnp.maximum(tx0, rx0)
+        tx1 = jnp.minimum(tx1, rx1)
+        ty0 = jnp.maximum(ty0, ry0 - tile_row0)
+        ty1 = jnp.minimum(ty1, ry1 - tile_row0)
+        valid = valid & (tx1 >= tx0)
+        tx0 = jnp.minimum(tx0, tiles_x - 1)  # empty-rect clamp for meta bits
 
     in_rows = ty1 >= ty0
     valid = valid & in_rows
@@ -120,13 +137,14 @@ def count_pairs(
     tile_w: int,
     tile_h: int,
     tile_row0=0,
+    rect=None,
 ) -> Array:
     """Total (tile, triangle) pairs this frame would generate (i32 scalar).
 
     Sort-free — used by pipeline.autotune_pair_caps to size the pair buffer
     to the scene instead of the worst-case formula."""
     counts, _, _, _ = _tile_footprints(
-        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0
+        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0, rect
     )
     return jnp.sum(counts, dtype=jnp.int32)
 
@@ -139,15 +157,17 @@ def bin_triangles(
     tile_h: int,
     pair_capacity: int,
     tile_row0=0,
+    rect=None,
 ) -> BinnedPairs:
     """Bin into the tile window rows [tile_row0, tile_row0 + tiles_y).
 
     ``tile_row0`` may be traced (device's slice offset under shard_map);
-    tile ids in the output are window-local.
+    tile ids in the output are window-local. ``rect`` culls tiles outside
+    an inclusive global tile rect (see _tile_footprints).
     """
     num_tiles = tiles_x * tiles_y
     counts, tx0, ty0, w = _tile_footprints(
-        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0
+        setup, tiles_x, tiles_y, tile_w, tile_h, tile_row0, rect
     )
 
     # Expansion without per-pair binary search: pair -> slot is a TWO-LEVEL
@@ -216,18 +236,23 @@ def bin_triangles(
     row = combined[group_c]  # (pair_cap, 2G) — consecutive pairs repeat rows
     locr = row[:, :G]
     le = locr <= off[:, None]
+    # locr is a non-decreasing cumsum, so `le` is a prefix mask: the meta
+    # lane to select (lane slot_local = popcount(le)) is the FIRST 0 lane —
+    # expressible as le[k-1] & ~le[k] WITHOUT the popcount, which breaks the
+    # reduce -> one-hot dependency and lets XLA fuse all three lane reduces
+    # into ONE pass over the (cap, 128) rows (the split form re-read the
+    # 168 MB buffer twice: 0.44 + 0.34 ms at the bench shadow cap).
+    le_sh = jnp.concatenate([jnp.ones_like(le[:, :1]), le[:, :-1]], axis=1)
+    sel = le_sh & ~le  # one-hot at lane slot_local (all-zero iff le all-1s)
     slot_local = jnp.sum(le, axis=1, dtype=jnp.int32)
     start_local = jnp.max(jnp.where(le, locr, 0), axis=1)
     slot = group_c * G + slot_local
     k = off - start_local
     # slot_local of a valid pair is < G (its group's total exceeds off), so
-    # the one-hot below always hits a real meta lane; invalid pairs may
-    # select nothing (m = 0) and are masked by `ok`.
-    lane_g = jnp.arange(G, dtype=jnp.int32)
-    m = jnp.sum(
-        jnp.where(lane_g == slot_local[:, None], row[:, G:], 0), axis=1,
-        dtype=jnp.int32,
-    )
+    # `sel` always hits a real meta lane there; invalid pairs may select
+    # nothing (m = 0, matching the old lane_g == G no-match) and are masked
+    # by `ok`.
+    m = jnp.sum(jnp.where(sel, row[:, G:], 0), axis=1, dtype=jnp.int32)
     ok = (pos < total) & (slot < setup.capacity)
     slot_c = jnp.minimum(slot, setup.capacity - 1)
     mtx0 = m & 0x1FF
@@ -236,7 +261,22 @@ def bin_triangles(
     tile = (mty0 + k // mw) * tiles_x + (mtx0 + k % mw)
     tile = jnp.where(ok, tile, num_tiles)
 
-    sorted_tile, sorted_slot = jax.lax.sort((tile, slot_c), num_keys=1, is_stable=True)
+    bits_s = max(int(setup.capacity - 1).bit_length(), 1)
+    if num_tiles.bit_length() + bits_s <= 31:
+        # Single-array sort of (tile << bits_s | slot): pairs are emitted in
+        # slot-ascending order, so the stable-by-tile sort's within-tile
+        # order IS slot-ascending — the packed key reproduces it exactly
+        # while sorting one array instead of three (XLA adds an iota
+        # operand for stability; measured 0.45 ms for the 3-array form at
+        # the 327680 bench cap).
+        packed = (tile << bits_s) | slot_c
+        sp = jax.lax.sort(packed)
+        sorted_tile = sp >> bits_s
+        sorted_slot = sp & ((1 << bits_s) - 1)
+    else:  # huge scenes: keep the stable 2-key form
+        sorted_tile, sorted_slot = jax.lax.sort(
+            (tile, slot_c), num_keys=1, is_stable=True
+        )
     tile_start = _tile_starts(sorted_tile, num_tiles)
     return BinnedPairs(sorted_slot=sorted_slot, tile_start=tile_start, total_pairs=total)
 
@@ -261,7 +301,17 @@ def _tile_starts(sorted_tile: Array, num_tiles: int) -> Array:
         ).astype(jnp.int32)
     view = sorted_tile.reshape(cap // 128, 128)
     t = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    coarse = jnp.searchsorted(view[:, 0], t, side="left").astype(jnp.int32)
+    # coarse[t] = #{row heads < t}: the queries are EVERY tile id in order,
+    # so searchsorted collapses to a histogram + exclusive cumsum (head
+    # values are in [0, num_tiles]). The log2(rows)-iteration searchsorted
+    # while-loop was latency-bound at ~0.7 ms/frame across both passes; the
+    # scatter is ~9 ns x rows.
+    hist = jnp.zeros(num_tiles + 1, jnp.int32).at[view[:, 0]].add(
+        1, mode="drop", indices_are_sorted=True
+    )
+    coarse = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hist)])[
+        : num_tiles + 1
+    ]
     r = jnp.maximum(coarse - 1, 0)
     rows = view[r]  # (Q, 128) — dense row gather from a <=2 MB table
     cnt = jnp.sum((rows < t[:, None]).astype(jnp.int32), axis=1)

@@ -761,6 +761,7 @@ def bin_and_rasterize(
     kind: str = "cam",
     depth_only: bool = False,
     shade_rows: Array | None = None,
+    rect=None,
 ):
     """Bin + tile-raster; returns tile-major (zt, it), the segment lists,
     the pair stats, and the pair-ordered row table (for the fused shading
@@ -780,7 +781,8 @@ def bin_and_rasterize(
     pair_cap = config.pair_capacity(setup.capacity, kind)
 
     pairs = binning.bin_triangles(
-        setup, tiles_x, tile_rows, tw, th, pair_cap, tile_row0=tile_row0
+        setup, tiles_x, tile_rows, tw, th, pair_cap, tile_row0=tile_row0,
+        rect=rect,
     )
     if config.debug_overflow:
         jax.debug.print(
@@ -874,6 +876,7 @@ def rasterize_tiled(
     with_pairs: bool = False,
     kind: str = "cam",
     depth_only: bool = False,
+    rect=None,
 ) -> Tuple[Array, ...]:
     """Binned tiled rasterization; drop-in replacement for the brute force.
 
@@ -892,7 +895,7 @@ def rasterize_tiled(
         tile_row0 = 0
     zt, it, _segs, pairs, _rows = bin_and_rasterize(
         setup, width, config, tiles_x, tile_rows, th, tw, tile_row0, vma, kind,
-        depth_only,
+        depth_only, rect=rect,
     )
     zbuf = _untile(zt, tile_rows, tiles_x, th, tw)
     ibuf = None if it is None else _untile(it, tile_rows, tiles_x, th, tw)

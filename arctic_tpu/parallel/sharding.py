@@ -135,9 +135,17 @@ def render_frame_sharded_stats(
         # ICI collective.
         sh_clipped = raster.near_clip_corners(sun_clip, tri_valid)
         sh_setup = raster.setup_screen_triangles(sh_clipped, s, s, cull="front")
+        # Sun-frustum culling composes with slab sharding: the rect is
+        # computed from replicated inputs (identical on every device) and
+        # bin_triangles subtracts each device's tile_row0, so the gathered
+        # map matches the single-chip culled map texel-for-texel.
+        sh_rect = None
+        if config.sun_frustum_cull:
+            sh_rect = pipeline.sun_cull_rect(wc, tri_valid, cam_pv, sun_pv, config)
         sh_zt, _, _, sh_pairs, _ = raster_tiles.bin_and_rasterize(
             sh_setup, s, config, sh_tiles_x, sh_rows_dev, sth, st,
             tile_row0=d * sh_rows_dev, vma=vma, kind="shadow", depth_only=True,
+            rect=sh_rect,
         )
         sh_slab = raster_tiles._untile(sh_zt, sh_rows_dev, sh_tiles_x, sth, st)
         sh_slab = sh_slab[:, :s]

@@ -21,7 +21,9 @@ def _sync(out):
     # block_until_ready can acknowledge early through the remote-TPU tunnel;
     # a tiny device->host copy is a hard sync.
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0:1])
+    # Slice FIRST: .ravel() of the full image compiles a 6 MB copy per
+    # sync (showed up as a 0.36 ms/frame reshape in the ops table).
+    np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
 
 
 def timeit(fn, *args, n=5, warmup=1):
