@@ -116,6 +116,11 @@ class RenderConfig:
     # TPU-side work reduction.
     sun_frustum_cull: bool = True
 
+    # With sun_frustum_cull: skip window-LUT build steps whose start_y band
+    # lies outside the cull rect's y range (ops/shadow.build_window_lut_q
+    # y_range — skipped blocks hold garbage no consumed pixel gathers).
+    lut_y_skip: bool = True
+
     # Fused shading: resolve per-pixel shading inputs inside a per-tile
     # Pallas kernel (exact one-hot MXU selection over the tile's triangle
     # list) instead of per-pixel XLA gathers from a shade table. Requires

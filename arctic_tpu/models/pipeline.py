@@ -185,14 +185,20 @@ def scene_aabb(wc, tri_valid):
     return jnp.stack(los), jnp.stack(his)
 
 
-def sun_cull_rect(wc, tri_valid, cam_pv, sun_pv, config: RenderConfig):
-    """Conservative shadow-tile rect for shadow_pass (ops/cull.py)."""
+def sun_cull_rect(
+    wc, tri_valid, cam_pv, sun_pv, config: RenderConfig, with_y_band=False
+):
+    """Conservative shadow-tile rect for shadow_pass (ops/cull.py).
+
+    ``with_y_band``: also return the (y_lo, y_hi) window-start_y band for
+    build_window_lut_q's y-skip (see cull.shadow_cull_rect)."""
     from arctic_tpu.ops import cull
 
     lo, hi = scene_aabb(wc, tri_valid)
     sth = config.shadow_tile_h or config.shadow_tile
     return cull.shadow_cull_rect(
-        cam_pv, sun_pv, lo, hi, config.shadow_size, sth, config.shadow_tile
+        cam_pv, sun_pv, lo, hi, config.shadow_size, sth, config.shadow_tile,
+        with_y_band=with_y_band,
     )
 
 
@@ -307,17 +313,14 @@ def build_shade_rows(
         # and writes the transposed table in one streaming pass — replacing
         # the full 128-lane stack (a 516 MB-traffic concatenate) with a
         # bit-identical build at ~1/3 the HBM traffic.
-        from arctic_tpu.ops.raster_tiles import pack_shade_rows
+        from arctic_tpu.ops.raster_tiles import pack_shade_rows, pack_shade_rows_tm
 
         n_total = -(-(p + 1) // 512) * 512
         assert geom.slot_static_rows.shape == (56, n_total), (
             geom.slot_static_rows.shape,
             n_total,
         )
-
-        def dup(a):  # tri-major (T,) -> slot-major (P,)
-            return jnp.concatenate([a, a])
-
+        n_pad = n_total - p
         rows = []
         for c in range(3):
             rows += list(setup.edges[c])  # [0:9) raw A,B,C per corner
@@ -325,11 +328,29 @@ def build_shade_rows(
         rows += [setup.inv_area2 / setup.w[c] for c in range(3)]  # [12:15)
         for c in range(3):
             rows += [setup.cb[c][k] for k in range(3)]  # [15:24)
+
+        cap = geom.capacity
+        if cap % 512 == 0 and p == 2 * cap + 1:
+            # The 18 wc/lsp planes are per-TRIANGLE; the kernel dups them
+            # to slot order via a modular block map instead of stacking a
+            # [tri; tri] copy (~80 MB less HBM traffic at bench scale).
+            pf = jnp.stack([jnp.pad(a, (0, n_pad)) for a in rows], axis=0)
+            tri = jnp.stack(
+                [wc[k][i] for k in range(3) for i in range(3)]
+                + [lsp[k][i] for k in range(3) for i in range(3)],
+                axis=0,
+            )  # (18, cap) tri-major
+            return pack_shade_rows_tm(
+                pf, tri, geom.slot_static_rows, p, vma=vma
+            )
+
+        def dup(a):  # tri-major (T,) -> slot-major (P,)
+            return jnp.concatenate([a, a])
+
         for k in range(3):
             rows += [dup(x) for x in wc[k]]  # [24:33)
         for k in range(3):
             rows += [dup(x) for x in lsp[k]]  # [33:42)
-        n_pad = n_total - p
         pf = jnp.stack([jnp.pad(a, (0, n_pad)) for a in rows], axis=0)
         pf = jnp.concatenate([pf, jnp.zeros((6, n_total), jnp.float32)])
         return pack_shade_rows(pf, geom.slot_static_rows, p, vma=vma)
@@ -546,6 +567,7 @@ def shade_gbuffer(
     with_pcf_rows: bool = False,
     sun_lut: Array | None = None,
     sun_pyr: Array | None = None,
+    lut_y_range: Array | None = None,
 ):
     """forward.hlsl ps_main over the fused kernel's G-buffer, LANE-major.
 
@@ -793,7 +815,7 @@ def shade_gbuffer(
     shadow_f, pcf_rows = shadow.pcf_shadow_proj(
         shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma,
         care=covered, row_cap=config.pcf_row_cap, with_rows=True,
-        lut=sun_lut, pyramid=sun_pyr,
+        lut=sun_lut, pyramid=sun_pyr, lut_y_range=lut_y_range,
     )
     lit = (1.0 - shadow_f)[None]  # (1, T, S)
 
@@ -917,13 +939,22 @@ def render_frame_stats(
 
     # named_scope = the frame graph's pass labels in HLO/profiler traces
     # (the Tracy zone analogue, SURVEY.md §5.1).
-    sun_lut = sun_pyr = None
+    sun_lut = sun_pyr = lut_y_range = None
     with jax.named_scope("shadow_pass"):
         if sun_cache is None:
             cull_rect = None
             if config.sun_frustum_cull and fused:
                 tri_valid0 = jnp.arange(geom.capacity) < geom.num_tris
-                cull_rect = sun_cull_rect(wc, tri_valid0, cam_pv, sun_pv, config)
+                cull_rect, y_band = sun_cull_rect(
+                    wc, tri_valid0, cam_pv, sun_pv, config, with_y_band=True
+                )
+                if config.lut_y_skip:
+                    # Bound on every covered pixel's PCF window start_y —
+                    # the in-frame LUT build skips 48-row steps outside it
+                    # (build_window_lut_q y_range). Tighter than the tile
+                    # rect: the wrap extension widens the rect at map edges
+                    # but never the consumed start_y range.
+                    lut_y_range = jnp.stack(y_band).astype(jnp.int32)
             shadow_map, sh_pairs, sh_cap = shadow_pass(
                 geom, sun_pv, config, sun_clip=sun_clip, cull_rect=cull_rect
             )
@@ -964,7 +995,7 @@ def render_frame_stats(
             hdr, pcf_rows = shade_gbuffer(
                 buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
                 tiles_x=config.tiles_x, with_pcf_rows=True,
-                sun_lut=sun_lut, sun_pyr=sun_pyr,
+                sun_lut=sun_lut, sun_pyr=sun_pyr, lut_y_range=lut_y_range,
             )
     else:
         world = vertex_world_positions(geom)

@@ -208,6 +208,7 @@ def shadow_cull_rect(
     tile_h: int,
     tile_w: int,
     margin_texels: float | None = None,
+    with_y_band: bool = False,
 ):
     """Conservative shadow-map TILE rect (tx0, ty0, tx1, ty1) that covers
     every texel the PCF window of any shaded pixel can read.
@@ -216,6 +217,14 @@ def shadow_cull_rect(
     tiles culled — nothing on screen samples the map). margin_texels
     defaults to the PCF reach (0.0002 UV x size) + bilinear + slack for
     the f32 corner math.
+
+    ``with_y_band``: also return (y_lo, y_hi) i32 — an inclusive bound on
+    every consumed pixel's PCF window start_y (shadow.pcf_shadow_proj
+    padded-coords origin), for build_window_lut_q's y-skip. Derived from
+    the UNEXTENDED continuous bounds: edge-wrapping windows' start_y stays
+    in-band (the wrapped texels live in the first/last LUT step's slab
+    rows, not in extra steps), so the band stays tight when the rect
+    touches a map edge and the wrap extension below widens the tile rect.
     """
     if margin_texels is None:
         margin_texels = 0.0002 * shadow_size + 8.0
@@ -239,7 +248,25 @@ def shadow_cull_rect(
     tx1 = jnp.clip(jnp.floor(px_hi / tile_w).astype(jnp.int32), -1, tiles_x - 1)
     ty0 = jnp.clip(jnp.floor(py_lo / tile_h).astype(jnp.int32), 0, tiles_y - 1)
     ty1 = jnp.clip(jnp.floor(py_hi / tile_h).astype(jnp.int32), -1, tiles_y - 1)
+    # WRAP addressing (forward.hlsl sampler, PARITY quirk): a PCF window
+    # whose footprint crosses a map edge reads texels wrapped from the
+    # OPPOSITE edge (shadow.py pads 2 texels, mode="wrap"). A consumed
+    # window crosses the bottom edge only when its pixel projects to
+    # py >= s - 1.5 (start_y >= s - 1, padded rows >= s + 2 = orig rows
+    # 0..1) — our margined bound crossing s - 2 is strictly looser. Keep
+    # the opposite edge's tile row/col in that case (extension only GROWS
+    # the kept set; exactness needs every consumed texel kept).
+    ty0 = jnp.where(py_hi >= s - 2.0, jnp.int32(0), ty0)
+    ty1 = jnp.where(py_lo <= 2.0, jnp.int32(tiles_y - 1), ty1)
+    tx0 = jnp.where(px_hi >= s - 2.0, jnp.int32(0), tx0)
+    tx1 = jnp.where(px_lo <= 2.0, jnp.int32(tiles_x - 1), tx1)
     any_ok = jnp.any(ok)
     tx1 = jnp.where(any_ok & (px_hi >= px_lo), tx1, -1)
     ty1 = jnp.where(any_ok & (py_hi >= py_lo), ty1, -1)
-    return tx0, ty0, tx1, ty1
+    if not with_y_band:
+        return tx0, ty0, tx1, ty1
+    # Consumed start_y = clip(floor(py - 0.5) + 1, 0, s) is within
+    # [py - 1.5, py + 1]; py_lo/py_hi already carry margin_texels slack.
+    y_lo = jnp.clip(jnp.floor(py_lo - 1.5), 0.0, s).astype(jnp.int32)
+    y_hi = jnp.clip(jnp.ceil(py_hi + 1.0), 0.0, s).astype(jnp.int32)
+    return (tx0, ty0, tx1, ty1), (y_lo, y_hi)

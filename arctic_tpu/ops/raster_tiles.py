@@ -261,6 +261,98 @@ def pack_shade_rows(
     )(pf, stat)
 
 
+def _pack_shade_rows_tm_kernel(
+    pf_ref, tri_ref, st_ref, out_ref, *, p: int, cap: int, bpx: int
+):
+    """pack_shade_rows with the 18 duplicated planes read TRI-major.
+
+    The wc/lsp corner planes are per-TRIANGLE; the stacked build dup'd
+    them to clip-slot order ([tri; tri]) inside the 48-row pf stack,
+    doubling their write+read traffic (and the old full-table build
+    before it did the same). When cap % bpx == 0 the dup is pure block
+    indexing: slot block i reads tri block i % (cap/bpx), blocks past
+    2*cap/bpx are masked to the old zero padding. Saves ~80 MB of HBM
+    traffic per frame at bench scale (97 MB pf stack -> 48.5 + 18 read
+    once). Lane values are bit-identical to the 48-row kernel.
+    """
+    i = pl.program_id(0)
+    pf = pf_ref[...]  # (24, bpx) slot-major per-frame planes
+    tri = tri_ref[...]  # (18, bpx) tri-major wc[k][i] rows 0:9, lsp 9:18
+    st = st_ref[...]
+    edges = pf[0:9]
+    zpl = pf[9:12]
+    sw = pf[12:15]
+    ebw = jnp.concatenate(
+        [edges[3 * c : 3 * c + 3] * sw[c : c + 1] for c in range(3)], axis=0
+    )
+    gid = jax.lax.broadcasted_iota(jnp.int32, (1, bpx), 1) + i * bpx
+    gidf = gid.astype(jnp.float32)
+    valid = gid < p
+    sid9 = jnp.where(valid, gidf, -2.0)
+    sid124 = jnp.where(valid, gidf, 0.0)
+    # Slots >= 2*cap (the dead slot + padding) carried ZEROS in the dup'd
+    # stack; the modular block map would hand them tri block 0's data.
+    dupv = gid < 2 * cap
+    wcd = jnp.where(dupv, tri[0:9], 0.0)
+    lspd = jnp.where(dupv, tri[9:18], 0.0)
+
+    def z(k):
+        return jnp.zeros((k, bpx), jnp.float32)
+
+    groups = []
+    for c in range(3):
+        cb0 = pf[15 + 3 * c : 16 + 3 * c]
+        cb1 = pf[16 + 3 * c : 17 + 3 * c]
+        cb2 = pf[17 + 3 * c : 18 + 3 * c]
+        ca_w = cb0 * wcd[0:3] + cb1 * wcd[3:6] + cb2 * wcd[6:9]
+        ca_sa = cb0 * st[0:11] + cb1 * st[11:22] + cb2 * st[22:33]
+        ca_ls = cb0 * lspd[0:3] + cb1 * lspd[3:6] + cb2 * lspd[6:9]
+        groups.append(jnp.concatenate([ca_w, ca_sa, ca_ls, z(7)], axis=0))
+    m = jnp.concatenate(
+        [ebw, sid9, z(6)] + groups + [st[33:56], z(1), edges, zpl, sid124, z(3)],
+        axis=0,
+    )  # (128, bpx) component-major
+    out_ref[...] = jnp.swapaxes(m, 0, 1)
+
+
+def pack_shade_rows_tm(
+    pf: Array, tri: Array, stat: Array, p: int, bpx: int = 512, vma: tuple = ()
+) -> Array:
+    """(24, N) slot-major + (18, cap) tri-major + (56, N) static -> (N, 128).
+
+    Requires cap % bpx == 0 (build_buffers' tri_bucket guarantees it for
+    bucket multiples of 512); pipeline.build_shade_rows falls back to
+    pack_shade_rows otherwise.
+    """
+    n = pf.shape[1]
+    cap = tri.shape[1]
+    tb = cap // bpx
+    assert (
+        pf.shape[0] == 24
+        and tri.shape[0] == 18
+        and stat.shape == (56, n)
+        and n % bpx == 0
+        and cap % bpx == 0
+        and p == 2 * cap + 1
+    ), (pf.shape, tri.shape, stat.shape, p)
+
+    def tri_map(i):
+        return (0, jnp.where(i < 2 * tb, jax.lax.rem(i, tb), 0))
+
+    return pl.pallas_call(
+        functools.partial(_pack_shade_rows_tm_kernel, p=p, cap=cap, bpx=bpx),
+        grid=(n // bpx,),
+        in_specs=[
+            pl.BlockSpec((24, bpx), lambda i: (0, i)),
+            pl.BlockSpec((18, bpx), tri_map),
+            pl.BlockSpec((56, bpx), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((bpx, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32, vma=frozenset(vma)),
+        interpret=_interpret(),
+    )(pf, tri, stat)
+
+
 def _raster_kernel(
     # scalar prefetch
     seg_start_ref,

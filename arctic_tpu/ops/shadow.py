@@ -246,7 +246,7 @@ def _select_mats_q() -> jnp.ndarray:
     return jnp.asarray(s)
 
 
-def _lut_kernel_q(in1_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
+def _lut_kernel_q(yb_ref, in1_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
     # One grid step builds the 16-row blocks for 4 consecutive qy rows
     # (y-stride 12 -> 48 shared source rows + 16-row block tail = 56-row
     # slab, 8-aligned starts at 48*step). Each block is built in two 8-row
@@ -265,6 +265,15 @@ def _lut_kernel_q(in1_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
     total = pl.num_programs(0) * pl.num_programs(1)
     slot = jax.lax.rem(step, 2)
 
+    # Sun-frustum y-skip (ops/cull.py rect): a step builds blocks for
+    # window start_y in [48*step, 48*step+48); steps whose range cannot be
+    # read by any shaded pixel skip their DMA + MXU work entirely (their
+    # output blocks keep garbage — those rows are never gathered). The
+    # step's own DMA is started by step-1's prefetch, which is gated on
+    # the NEXT step's range, so skipped steps break no pipelining.
+    def in_range(st):
+        return (48 * st <= yb_ref[1]) & (48 * st + 48 > yb_ref[0])
+
     def dma(st, sl):
         return pltpu.make_async_copy(
             in1_hbm.at[pl.ds(48 * st, 56)],
@@ -272,16 +281,21 @@ def _lut_kernel_q(in1_hbm, smat_ref, out_ref, slab, sems, *, xb: int):
             sems.at[sl],
         )
 
-    @pl.when(step == 0)
+    @pl.when((step == 0) & in_range(0))
     def _():
         dma(step, slot).start()
 
-    @pl.when(step + 1 < total)
+    @pl.when((step + 1 < total) & in_range(step + 1))
     def _():
         dma(step + 1, 1 - slot).start()
 
-    dma(step, slot).wait()
+    @pl.when(in_range(step))
+    def _():
+        dma(step, slot).wait()
+        _lut_step_q(smat_ref, out_ref, slab, slot, xb=xb)
 
+
+def _lut_step_q(smat_ref, out_ref, slab, slot, *, xb: int):
     def shift4(v):  # (xb, 128): columns of the flat (xb*128) row moved -4
         carry = jnp.concatenate([v[1:, 0:4], jnp.zeros((1, 4), v.dtype)], axis=0)
         return jnp.concatenate([v[:, 4:], carry], axis=1)
@@ -352,7 +366,9 @@ def window_row_index_q(start_y, start_x, xb: int):
     return row, qx % 2, yoff, start_x % 4
 
 
-def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
+def build_window_lut_q(
+    shadow_map: Array, y_range: Array | None = None
+) -> tuple[Array, int]:
     """u16-quantized, u32-packed window LUT: 16-row x 8-texel blocks at
     y-stride 12 / x-stride 4, two per 128-lane i32 row.
 
@@ -362,6 +378,13 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
     4000^2 instead of 268 MB, under the ~96 MB gather cliff (~5.5 vs
     ~13.7 ns/row, tools/probe_u32pack). Depth quantization: round-to-
     nearest u16 in [0, 1], dequantized as q * (1 / 65535) by the reader.
+
+    ``y_range`` ((2,) i32, [min, max] inclusive window start_y): grid steps
+    whose 48-row start_y band misses the range skip their DMA + MXU work
+    and leave GARBAGE in their output rows — the caller guarantees no
+    consumed pixel gathers a row outside the range (pipeline: the
+    sun-frustum cull rect bounds every shaded pixel's start_y). None
+    builds the full table.
     """
     s = shadow_map.shape[0]
     sp = s + 4
@@ -378,8 +401,10 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
     padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 - sp)))
     in1 = padded2.reshape(yp, xb, 128)
 
-    lut = pl.pallas_call(
-        functools.partial(_lut_kernel_q, xb=xb),
+    if y_range is None:
+        y_range = jnp.asarray([0, s], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(sqg, jb_count),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -388,18 +413,22 @@ def build_window_lut_q(shadow_map: Array) -> tuple[Array, int]:
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4 * 16 * xb, 128), lambda q, jb: (q * jb_count + jb, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            # vma: replicated under shard_map, like build_window_lut.
-            (total_steps, 4 * 16 * xb, 128), jnp.int32, vma=frozenset()
+            (1, 4 * 16 * xb, 128), lambda q, jb, *_: (q * jb_count + jb, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 56, xb, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    lut = pl.pallas_call(
+        functools.partial(_lut_kernel_q, xb=xb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            # vma: replicated under shard_map, like build_window_lut.
+            (total_steps, 4 * 16 * xb, 128), jnp.int32, vma=frozenset()
+        ),
         interpret=jax.default_backend() != "tpu",
-    )(in1, _select_mats_q())
+    )(y_range.astype(jnp.int32), in1, _select_mats_q())
     return lut.reshape(-1, 128), xb
 
 
@@ -769,6 +798,7 @@ def pcf_shadow_proj(
     with_rows: bool = False,
     lut: Array | None = None,
     pyramid: Array | None = None,
+    lut_y_range: Array | None = None,
 ):
     """pcf_shadow on already-divided NDC components (channel-first callers
     pass the three (..., S) planes directly; the sun is orthographic so the
@@ -789,7 +819,13 @@ def pcf_shadow_proj(
     ``lut``/``pyramid`` (quant-LUT path) inject cached build products (see
     core.scene.SunCache): they MUST be build_window_lut_q /
     build_shadow_pyramid outputs for this exact map — identical values by
-    construction, just not rebuilt per frame."""
+    construction, just not rebuilt per frame.
+
+    ``lut_y_range`` (in-frame quant-LUT build only): (2,) i32 [min, max]
+    inclusive bound on every CONSUMED pixel's window start_y — LUT grid
+    steps outside it are skipped (build_window_lut_q). The pipeline passes
+    the sun-frustum cull rect's y band; pixels whose start_y falls outside
+    it must be ~care / outside (their values are never consumed)."""
     s = shadow_map.shape[0]
     assert shadow_map.shape == (s, s)
     u = x * 0.5 + 0.5
@@ -822,7 +858,7 @@ def pcf_shadow_proj(
         quant = PCF_QUANT
     if use_lut and quant:
         if lut is None:
-            lutq, xb = build_window_lut_q(shadow_map)
+            lutq, xb = build_window_lut_q(shadow_map, y_range=lut_y_range)
         else:
             lutq, xb = lut, lut_q_xb(s)
         jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)

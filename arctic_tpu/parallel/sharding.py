@@ -139,9 +139,11 @@ def render_frame_sharded_stats(
         # computed from replicated inputs (identical on every device) and
         # bin_triangles subtracts each device's tile_row0, so the gathered
         # map matches the single-chip culled map texel-for-texel.
-        sh_rect = None
+        sh_rect = sh_y_band = None
         if config.sun_frustum_cull:
-            sh_rect = pipeline.sun_cull_rect(wc, tri_valid, cam_pv, sun_pv, config)
+            sh_rect, sh_y_band = pipeline.sun_cull_rect(
+                wc, tri_valid, cam_pv, sun_pv, config, with_y_band=True
+            )
         sh_zt, _, _, sh_pairs, _ = raster_tiles.bin_and_rasterize(
             sh_setup, s, config, sh_tiles_x, sh_rows_dev, sth, st,
             tile_row0=d * sh_rows_dev, vma=vma, kind="shadow", depth_only=True,
@@ -166,10 +168,15 @@ def render_frame_sharded_stats(
             tile_row0=d * cam_rows_dev, tile_rows=cam_rows_dev, vma=vma,
         )
         ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
+        lut_y_range = None
+        if sh_y_band is not None and config.lut_y_skip:
+            # Same start_y band the single-chip path uses (replicated
+            # inputs, so the skipped LUT steps agree on every device).
+            lut_y_range = jnp.stack(sh_y_band).astype(jnp.int32)
         hdr, pcf_rows = pipeline.shade_gbuffer(
             buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
             tiles_x=config.tiles_x, tile_row0=d * cam_rows_dev, vma=vma,
-            with_pcf_rows=True,
+            with_pcf_rows=True, lut_y_range=lut_y_range,
         )
         if config.hdr_half_round:
             hdr = hdr.astype(jnp.float16).astype(jnp.float32)

@@ -14,6 +14,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from arctic_tpu.core.config import RenderConfig
 from arctic_tpu.core.scene import default_scene_params, default_settings
@@ -25,9 +26,9 @@ from arctic_tpu.ops import raster
 W, H = 96, 64
 
 
-def _setup():
+def _setup(tri_bucket=256):
     meshes, objects, materials, env = cornell_like_scene()
-    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=tri_bucket)
     params = default_scene_params(aspect=W / H)
     params = dataclasses.replace(
         params,
@@ -50,8 +51,13 @@ def _setup():
     return bufs, params, geom, setup, sun_pv, wc, lsp
 
 
-def test_pack_shade_rows_matches_stacked_build():
-    bufs, params, geom, setup, sun_pv, wc, lsp = _setup()
+@pytest.mark.parametrize("tri_bucket", [384, 512])
+def test_pack_shade_rows_matches_stacked_build(tri_bucket):
+    # tri_bucket=512 -> capacity % 512 == 0 -> the TRI-major kernel variant
+    # (pack_shade_rows_tm, modular block dup); 384 -> capacity 384 or 768,
+    # never a 512-multiple -> the 48-row form.
+    bufs, params, geom, setup, sun_pv, wc, lsp = _setup(tri_bucket)
+    assert (geom.capacity % 512 == 0) == (tri_bucket == 512)
     assert geom.slot_static_rows is not None  # build_buffers fills it
     new = np.asarray(
         pipeline.build_shade_rows(setup, geom, sun_pv, wc=wc, lsp=lsp)

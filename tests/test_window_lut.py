@@ -64,6 +64,28 @@ def test_window_lut_q_exact(rng):
             assert diff.max() <= 1, f"window ({y},{x})"
 
 
+def test_window_lut_q_y_range(rng):
+    """A banded build must reproduce the full build exactly on every row a
+    window with start_y inside the band can gather (steps outside are
+    skipped and hold garbage — callers never gather them)."""
+    s = 96
+    smap = jnp.asarray(rng.uniform(0.1, 0.9, (s, s)).astype(np.float32))
+    full, xb = shadow.build_window_lut_q(smap)
+    band_lo, band_hi = 30, 70
+    part, xb2 = shadow.build_window_lut_q(
+        smap, y_range=jnp.asarray([band_lo, band_hi], jnp.int32)
+    )
+    assert xb == xb2
+    full_np, part_np = np.asarray(full), np.asarray(part)
+    qys = sorted({y // 12 for y in range(band_lo, band_hi + 1)})
+    for qy in qys:
+        rows = slice(qy * 16 * xb, (qy + 1) * 16 * xb)
+        np.testing.assert_array_equal(part_np[rows], full_np[rows])
+    # The band must actually skip something (step 2 covers start_y >= 96).
+    skipped = slice((s // 12) * 16 * xb, ((s // 12) + 1) * 16 * xb)
+    assert not np.array_equal(part_np[skipped], full_np[skipped])
+
+
 def _step_map(rng, s=96):
     """Shadow map with large flat lit/shadowed regions and a noisy band:
     classification must fire on the flats and fall through on the band."""
