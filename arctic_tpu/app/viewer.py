@@ -13,6 +13,11 @@ mirroring App::handle_event (app.cpp:109-148). Full ImGui-window parity
   exposure (app.cpp:454-493).
 - Lights window: per-light position drag + HDR color, "Add" up to 16
   (app.cpp:495-523) — edits upload next frame like m_update_lights.
+- Objects window (scene editor — the reference's unticked README.md:17
+  roadmap item): per-object translate / yaw-pitch rotate / uniform scale
+  about the object's own origin, composed onto the load-time TRS
+  (core.scene.with_object_trs); a geometry edit invalidates the sun cache
+  so the shadow chain rebuilds.
 
     python -m arctic_tpu.app.viewer --procedural cornell --width 640 --height 360
     # then open http://localhost:8000
@@ -59,6 +64,11 @@ tonemap <select id=tm><option value=0>reinhard</option><option value=1>exposure<
 exposure <input id=exposure value=1.0></fieldset>
 <fieldset><legend>lights (max 16)</legend><div id=lights></div>
 <button id=addlight>Add</button></fieldset>
+<fieldset><legend>objects (scene editor)</legend>
+object <select id=objid></select><br>
+move <input id=odx value=0> <input id=ody value=0> <input id=odz value=0><br>
+rot <input id=oyaw value=0> <input id=opitch value=0> scale <input id=oscale value=1><br>
+<button id=objapply>apply</button> <button id=objreset>reset</button></fieldset>
 <script>
 const c=document.getElementById('c'),ctx=c.getContext('2d');
 const plot=document.getElementById('plot'),pctx=plot.getContext('2d');
@@ -89,6 +99,17 @@ function addLightRow(p,col){
 }
 document.getElementById('addlight').onclick=()=>addLightRow([0,1,0],[10,0,0]);
 addLightRow([0,1,0],[10,0,0]);  // default red light (app.hpp:59-62)
+const objSel=document.getElementById('objid');
+for(let i=0;i<%NOBJ%;i++){const o=document.createElement('option');o.value=i;o.textContent='object '+i;objSel.appendChild(o)}
+let objEdit=null;
+function objEditJson(){return JSON.stringify({id:parseInt(objSel.value)||0,
+  dt:['odx','ody','odz'].map(k=>parseFloat(v(k))||0),
+  rot:['oyaw','opitch'].map(k=>parseFloat(v(k))||0),
+  scale:parseFloat(v('oscale'))||1})}
+document.getElementById('objapply').onclick=()=>{objEdit=objEditJson()};
+document.getElementById('objreset').onclick=()=>{
+  ['odx','ody','odz','oyaw','opitch'].forEach(k=>document.getElementById(k).value=0);
+  document.getElementById('oscale').value=1;objEdit=objEditJson()};
 function lightsJson(){
   return JSON.stringify([...lightsDiv.children].map(d=>({
     pos:['lx','ly','lz'].map(k=>parseFloat(d.querySelector('.'+k).value)||0),
@@ -121,6 +142,7 @@ async function loop(){
     camDirty=false;
   }
   if(pendingRes){q.set('res',pendingRes);pendingRes=null}
+  if(objEdit){q.set('obj_edit',objEdit);objEdit=null}
   dx=0;dy=0;
   const r=await fetch('/frame?'+q); const b=await r.blob();
   const img=await createImageBitmap(b);
@@ -144,6 +166,25 @@ loop();
 </script></body></html>"""
 
 
+def _object_edit_matrix(orig, dt, rot, scale):
+    """World TRS for an Objects-window edit: translate by ``dt`` and rotate
+    (yaw, pitch degrees) / scale uniformly about the object's own origin
+    (the load-time matrix's translation column), composed onto the load-time
+    TRS. Identity inputs return the original matrix exactly."""
+    orig = np.asarray(orig, np.float64)
+    yaw, pitch = np.radians(rot[0]), np.radians(rot[1])
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    r = (ry @ rx) * float(scale)
+    p = orig[:3, 3]
+    m = np.eye(4)
+    m[:3, :3] = r
+    m[:3, 3] = p + np.asarray(dt, np.float64) - r @ p
+    return (m @ orig).astype(np.float32)
+
+
 class ViewerState:
     def __init__(self, buffers, params, settings, config, render):
         self.buffers = buffers
@@ -155,16 +196,21 @@ class ViewerState:
         self.last_time = time.perf_counter()
         self.stats = FrameStats()
 
-        # Sun-dirty shadow caching: while the sun (and geometry — static in
-        # the viewer) is unchanged, frames reuse the cached shadow map +
-        # window LUT (pipeline.build_sun_cache) and skip the whole shadow
-        # chain; editing the sun in the Settings window rebuilds it. The
-        # production equivalent of cached shadow maps for stationary lights.
+        # Sun-dirty shadow caching: while sun AND geometry are unchanged,
+        # frames reuse the cached shadow map + window LUT
+        # (pipeline.build_sun_cache) and skip the whole shadow chain;
+        # editing the sun (Settings) or an object (Objects editor) rebuilds
+        # it. The production equivalent of cached stationary-light shadows.
         self.sun_cache = None
         self.sun_key = None
         self._cache_builder = None
         self._cached_render = None
         self._cache_stats = {}
+
+        # Objects editor: edits compose onto the load-time TRS (kept here),
+        # so repeated edits of one object never accumulate rounding.
+        self.orig_object_trs = np.asarray(buffers.geometry.object_trs).copy()
+        self._last_obj_edit = None
 
         from arctic_tpu.app.camera import FlyCamera
 
@@ -274,6 +320,40 @@ class ViewerState:
                 except (ValueError, KeyError, TypeError):
                     pass
 
+            if "obj_edit" in q:
+                # Objects editor (scene-editor parity item): replace the
+                # object's world TRS and invalidate the sun cache — moved
+                # geometry casts a different shadow.
+                edit = None
+                try:
+                    spec = json.loads(q["obj_edit"][0])
+                    edit = (
+                        int(spec["id"]),
+                        tuple(float(x) for x in spec.get("dt", (0, 0, 0))),
+                        tuple(float(x) for x in spec.get("rot", (0, 0))),
+                        float(spec.get("scale", 1.0)),
+                    )
+                except (ValueError, KeyError, TypeError):
+                    pass
+                if (
+                    edit is not None
+                    and 0 <= edit[0] < len(self.orig_object_trs)
+                    and edit != self._last_obj_edit
+                ):
+                    from arctic_tpu.core.scene import with_object_trs
+
+                    trs = _object_edit_matrix(
+                        self.orig_object_trs[edit[0]], edit[1], edit[2], edit[3]
+                    )
+                    self.buffers = dataclasses.replace(
+                        self.buffers,
+                        geometry=with_object_trs(
+                            self.buffers.geometry, edit[0], trs
+                        ),
+                    )
+                    self._last_obj_edit = edit
+                    self.sun_key = None  # geometry edit: shadow chain rebuilds
+
             self.params = dataclasses.replace(
                 self.params,
                 camera=cam,
@@ -357,6 +437,7 @@ def make_handler(state: ViewerState):
                 body = (
                     _PAGE.replace("%W%", str(state.config.width))
                     .replace("%H%", str(state.config.height))
+                    .replace("%NOBJ%", str(len(state.orig_object_trs)))
                     .encode()
                 )
                 self.send_response(200)

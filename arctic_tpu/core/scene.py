@@ -352,3 +352,27 @@ def default_settings() -> Settings:
         gamma=jnp.float32(2.2),
         exposure=jnp.float32(1.0),
     )
+
+
+def with_object_trs(geom: Geometry, obj_id: int, trs) -> Geometry:
+    """Geometry with object ``obj_id``'s world TRS replaced — the scene-editor
+    mutation the reference never had (its Objects are frozen at import,
+    app.cpp:358-382; "scene editor" is an unticked README.md:17 roadmap item).
+
+    Updates both the per-object matrix and the tri-major gathered copy
+    (``tri_trs == object_trs[tri_obj]``, io/build.py) so every consumer —
+    world-corner raster setup, shade rows, the per-vertex path — sees the
+    edit. Attributes stay untouched: n/t/b are object-space by the
+    reference's TBN quirk (forward.hlsl:54-61), so a transform edit is
+    exactly a two-array update. Shapes are unchanged — no recompile.
+    """
+    object_trs = geom.object_trs.at[obj_id].set(
+        jnp.asarray(trs, jnp.float32)
+    )
+    new = dataclasses.replace(geom, object_trs=object_trs)
+    if geom.tri_trs is not None:
+        # Same construction as io/build.py (tail rows follow tri_obj's
+        # zero padding, matching the build-time gather exactly).
+        tri_trs = object_trs[geom.tri_obj].reshape(geom.capacity, 16).T
+        new = dataclasses.replace(new, tri_trs=tri_trs)
+    return new

@@ -180,3 +180,78 @@ def test_viewer_sun_cache_reuse_and_invalidation():
 
     png, _ = state.step({"sun_rot": ["-35,80"]})  # sun edit: rebuilt
     assert state.sun_cache is not cache0
+
+
+def test_viewer_object_editor_exact():
+    """Objects window (scene editor): an object-TRS edit changes the frame
+    and matches a from-scratch build with the composed matrix EXACTLY (the
+    edit path's two-array update must equal io/build's gather)."""
+    import io as _io
+    import json
+
+    from PIL import Image
+
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64, force_bruteforce=True)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    render = pipeline.make_renderer_stats(config)
+    state = viewer.ViewerState(
+        buffers, default_scene_params(aspect=W / H), default_settings(),
+        config, render,
+    )
+    # Frame the boxes (the default eye looks away from the cornell interior).
+    cam = {"cam_pos": ["0,4,3"], "cam_rot": ["-25,-90"]}
+    png0, _ = state.step(cam)
+    edit = {"id": 1, "dt": [0.4, 0.0, -0.2], "rot": [25.0, -10.0], "scale": 1.2}
+    png1, _ = state.step({"obj_edit": [json.dumps(edit)]})
+    assert png1 != png0  # the box moved
+    img1 = np.asarray(Image.open(_io.BytesIO(png1)).convert("RGB"))
+
+    trs1 = viewer._object_edit_matrix(
+        np.asarray(objects[1][0], np.float32), edit["dt"], edit["rot"],
+        edit["scale"],
+    )
+    objects2 = list(objects)
+    objects2[1] = (trs1, objects[1][1])
+    bufs2 = build_buffers(meshes, objects2, materials, env, tri_bucket=256)
+    img2, _ = render(bufs2, state.params, state.settings)
+    np.testing.assert_array_equal(img1, np.asarray(img2))
+
+    # Identity edit restores the original frame bit-for-bit (edits compose
+    # onto the stored load-time TRS, not onto each other).
+    ident = {"id": 1, "dt": [0, 0, 0], "rot": [0, 0], "scale": 1.0}
+    png3, _ = state.step({"obj_edit": [json.dumps(ident)]})
+    assert png3 == png0
+
+    # Malformed edits are ignored.
+    png4, _ = state.step({"obj_edit": ["{bad json"]})
+    assert png4 == png0
+    png5, _ = state.step({"obj_edit": [json.dumps({"id": 99, "dt": [1, 0, 0]})]})
+    assert png5 == png0
+
+
+def test_viewer_object_edit_invalidates_sun_cache():
+    """A geometry edit must rebuild the sun cache (moved geometry casts a
+    different shadow), exactly like a sun edit does."""
+    import json
+
+    W, H = 64, 48
+    config = RenderConfig(width=W, height=H, shadow_size=64)
+    meshes, objects, materials, env = cornell_like_scene()
+    buffers = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    state = viewer.ViewerState(
+        buffers, default_scene_params(aspect=W / H), default_settings(),
+        config, pipeline.make_renderer_stats(config),
+    )
+    state.step({})
+    cache0 = state.sun_cache
+    assert cache0 is not None
+
+    edit = {"id": 1, "dt": [0.0, 0.6, 0.0], "rot": [0, 0], "scale": 1.0}
+    state.step({"obj_edit": [json.dumps(edit)]})
+    assert state.sun_cache is not cache0  # rebuilt from the edited geometry
+
+    cache1 = state.sun_cache
+    state.step({"f": ["1"]})  # camera-only: reused again
+    assert state.sun_cache is cache1
