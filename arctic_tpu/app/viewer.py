@@ -154,6 +154,7 @@ async function loop(){
   if(hist_ms.length>1000){hist_ms.shift();hist_fps.shift()}
   document.getElementById('stats').textContent=
     (st.ms||ms).toFixed(1)+' ms  '+(1000/(st.ms||ms)).toFixed(1)+' fps'
+    +(st.fps_avg?'  avg '+st.fps_avg.toFixed(1)+' fps':'')
     +(st.overflow?'  OVERFLOW: '+st.overflow:'');
   drawPlot();
   if(st.cam&&document.activeElement.tagName!=='INPUT'){
@@ -367,7 +368,7 @@ class ViewerState:
                 exposure=jnp.float32(f("exposure", 1.0)),
                 tm_method=jnp.int32(int(f("tm", 0))),
             )
-            self.stats.tick()
+            t_render0 = time.perf_counter()
             if not self.config.force_bruteforce:
                 key = (
                     tuple(np.asarray(sun.position).tolist()),
@@ -398,7 +399,10 @@ class ViewerState:
             else:
                 img, rstats = self.render(self.buffers, self.params, self.settings)
             img = np.asarray(img)
-            self.stats.tick()
+            # Render + device->host download only (PNG encode and the
+            # browser round-trip are not frame time; tick pairs would also
+            # record the idle gap BETWEEN requests as frames).
+            self.stats.add(time.perf_counter() - t_render0)
             # Camera/sun/lights are runtime-mutable, so a viewpoint can
             # exceed the autotuned pair caps; that silently drops fragments.
             # Keep it LOUD: surface the overflow in the HUD (ADVICE r2).
@@ -412,9 +416,15 @@ class ViewerState:
                 print(f"viewer: PAIR BUFFER OVERFLOW ({', '.join(overflow)}) — "
                       "frame incomplete; restart with a larger margin")
             ms = self.stats.history[-1] * 1e3 if self.stats.history else 0.0
+            recent = list(self.stats.history)[-60:]
+            avg = sum(recent) / len(recent) if recent else 0.0
             stats = {
                 "ms": round(ms, 2),
                 "fps": round(1000.0 / ms, 2) if ms else 0.0,
+                # Rolling live fps over the last 60 rendered frames — the
+                # ImGui Stats-window number's analogue (app.cpp:404-453),
+                # measuring render + download through the remote-TPU tunnel.
+                "fps_avg": round(1.0 / avg, 2) if avg else 0.0,
                 "overflow": ", ".join(overflow),
                 "cam": {
                     "pos": [float(x) for x in np.asarray(self.params.camera.eye)],

@@ -189,12 +189,113 @@ def conformance_checks() -> None:
     )
 
 
+def bench_params(W: int, H: int):
+    """The bench viewpoint + light rig (shared by the primary and textured
+    fly-throughs so the texture-cost delta isolates texture cost)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from arctic_tpu.core.scene import PointLights, default_scene_params
+
+    params = default_scene_params(aspect=W / H)
+    return dataclasses.replace(
+        params,
+        camera=dataclasses.replace(
+            params.camera,
+            eye=jnp.asarray([-14.0, 4.5, 0.0]),
+            rotation=jnp.asarray([-8.0, 0.0]),  # down the hall (+X)
+        ),
+        sun=dataclasses.replace(
+            params.sun,
+            position=jnp.asarray([0.0, 24.0, 0.0]),
+            rotation=jnp.asarray([-65.0, 30.0]),
+        ),
+        point_lights=PointLights.from_list(
+            [
+                ((-6.0, 3.0, -4.0), (30.0, 20.0, 8.0)),
+                ((0.0, 3.0, 4.0), (30.0, 20.0, 8.0)),
+                ((6.0, 3.0, -4.0), (8.0, 20.0, 30.0)),
+                ((12.0, 3.0, 4.0), (30.0, 8.0, 8.0)),
+            ]
+        ),
+    )
+
+
+def fly_frames(params, n_frames: int = 20):
+    """Camera fly-through: every timed frame has distinct inputs (no
+    backend-side result reuse possible; matches real usage), pre-staged on
+    the device (through the remote-TPU tunnel per-frame H2D uploads
+    serialize into the dispatch path)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    frames = [
+        dataclasses.replace(
+            params,
+            camera=dataclasses.replace(
+                params.camera,
+                eye=jnp.asarray([-14.0 + 0.25 * i, 4.5, 0.0]),
+                rotation=jnp.asarray([-8.0, 0.3 * i]),
+            ),
+        )
+        for i in range(n_frames)
+    ]
+    return jax.device_put(frames)
+
+
+def time_flythrough(render_s, bufs, frames, settings):
+    """(fps, last_img): chained-dispatch fly-through with a hard sync and
+    per-frame overflow checks after timing."""
+    import numpy as np
+
+    from arctic_tpu.models import pipeline
+
+    img, rstats = render_s(bufs, frames[0], settings)
+    img.block_until_ready()
+    pipeline.check_stats(rstats)
+    all_stats = []
+    t0 = time.perf_counter()
+    for p in frames:
+        img, rstats = render_s(bufs, p, settings)
+        all_stats.append(rstats)  # device scalars; checked after timing
+    np.asarray(img[:1, :1])  # hard device->host sync (block_until_ready can
+    # acknowledge early through the remote-TPU tunnel)
+    fps = len(frames) / (time.perf_counter() - t0)
+    for rstats in all_stats:  # EVERY timed frame must be complete
+        pipeline.check_stats(rstats)
+    return fps, img
+
+
+def textured_scene(size: int = 1024):
+    """Reference-scale texture load (renderer.cpp:475-553 uploads 3 full
+    maps per material; Khronos Sponza ships ~24 such materials): same
+    geometry as the default metric, 24 materials x 3 x size^2 spatially
+    varying maps, routed through the u16 tile atlas (io/build.py)."""
+    from arctic_tpu.io.procedural import sponza_like_scene
+
+    meshes, objects, materials, env = sponza_like_scene(
+        texture_size=size, n_materials=24
+    )
+    tex_mb = sum(
+        m.diffuse.nbytes + m.normal.nbytes + m.metal_roughness.nbytes
+        for m in materials
+    ) / 1e6
+    print(
+        f"textured scene: 24 materials x 3 x {size}^2 ({tex_mb:.0f} MB raw)",
+        file=sys.stderr,
+    )
+    return meshes, objects, materials, env
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from arctic_tpu.core.config import RenderConfig
-    from arctic_tpu.core.scene import PointLights, default_scene_params, default_settings
+    from arctic_tpu.core.scene import default_scene_params, default_settings
     from arctic_tpu.io.build import build_buffers
     from arctic_tpu.io.procedural import sponza_like_scene
     from arctic_tpu.models import pipeline
@@ -208,26 +309,17 @@ def main() -> None:
 
     textured = "--textures" in sys.argv
     if textured:
-        # Reference-scale texture load (VERDICT r3 missing #2): ~24 materials
-        # with three 1024^2 maps each — the real Khronos Sponza working set
-        # (renderer.cpp:475-553 uploads 3 full textures per material). Same
-        # geometry as the default metric, so the delta isolates texture cost.
-        # Routed through the u16 tile atlas (io/build.py) — the bf16 quad
-        # tables would be ~3 GB here. Asset-path round trip is skipped (the
+        # Reference-scale texture load as the PRIMARY metric (VERDICT r3
+        # missing #2). The default run also measures this scene as the
+        # textured_fps secondary metric below; --textures isolates it (and
+        # allows a non-default size). Asset-path round trip is skipped (the
         # default metric covers the loader; 300 MB of PNG encode is not the
         # thing being measured).
         size = 1024
         for a in sys.argv[2:]:
             if a.isdigit():
                 size = int(a)
-        meshes, objects, materials, env = sponza_like_scene(
-            texture_size=size, n_materials=24
-        )
-        tex_mb = sum(
-            m.diffuse.nbytes + m.normal.nbytes + m.metal_roughness.nbytes
-            for m in materials
-        ) / 1e6
-        print(f"textured scene: 24 materials x 3 x {size}^2 ({tex_mb:.0f} MB raw)", file=sys.stderr)
+        meshes, objects, materials, env = textured_scene(size)
     elif len(sys.argv) > 1:
         meshes, objects, materials, env = load_scene_file(sys.argv[1])
     else:
@@ -254,47 +346,13 @@ def main() -> None:
     bufs = build_buffers(meshes, objects, materials, env)
     n_tris = int(bufs.geometry.num_tris)
 
-    params = default_scene_params(aspect=W / H)
-    params = dataclasses.replace(
-        params,
-        camera=dataclasses.replace(
-            params.camera,
-            eye=jnp.asarray([-14.0, 4.5, 0.0]),
-            rotation=jnp.asarray([-8.0, 0.0]),  # down the hall (+X)
-        ),
-        sun=dataclasses.replace(params.sun, position=jnp.asarray([0.0, 24.0, 0.0]), rotation=jnp.asarray([-65.0, 30.0])),
-        point_lights=PointLights.from_list(
-            [
-                ((-6.0, 3.0, -4.0), (30.0, 20.0, 8.0)),
-                ((0.0, 3.0, 4.0), (30.0, 20.0, 8.0)),
-                ((6.0, 3.0, -4.0), (8.0, 20.0, 30.0)),
-                ((12.0, 3.0, 4.0), (30.0, 8.0, 8.0)),
-            ]
-        ),
-    )
+    params = bench_params(W, H)
     settings = dataclasses.replace(
         default_settings(), tm_method=jnp.int32(2)  # ACES (configs[2])
     )
 
-    # Fly the camera down the hall: every timed frame has distinct inputs
-    # (no backend-side result reuse possible; matches real usage).
-    def frame_params(i):
-        return dataclasses.replace(
-            params,
-            camera=dataclasses.replace(
-                params.camera,
-                eye=jnp.asarray([-14.0 + 0.25 * i, 4.5, 0.0]),
-                rotation=jnp.asarray([-8.0, 0.3 * i]),
-            ),
-        )
-
     n_frames = 20
-    frames = [frame_params(i) for i in range(n_frames)]
-    # Pre-stage every viewpoint's params on the device: each SceneParams is
-    # ~a dozen tiny host arrays, and through the remote-TPU tunnel their
-    # per-frame H2D uploads serialize into the dispatch path (the reference
-    # analogue is a 32-bit root-constant set — negligible by design).
-    frames = jax.device_put(frames)
+    frames = fly_frames(params, n_frames)
 
     # Size the pair buffers to the scene (sort/align costs scale with
     # capacity; the formula default is ~5x oversized for this scene). The
@@ -316,26 +374,7 @@ def main() -> None:
     # already computed by the binning cumsum (free), and a second jitted
     # variant would double the (minutes-long) remote TPU compile.
     render_s = pipeline.make_renderer_stats(config)
-
-    def render(bufs, p, settings):
-        return render_s(bufs, p, settings)[0]
-
-    img, rstats = render_s(bufs, params, settings)
-    img.block_until_ready()  # compile + first frame
-    pipeline.check_stats(rstats)  # raise if fragments were dropped (overflow)
-
-    render(bufs, frames[0], settings).block_until_ready()
-    all_stats = []
-    t0 = time.perf_counter()
-    for p in frames:
-        img, rstats = render_s(bufs, p, settings)
-        all_stats.append(rstats)  # device scalars; checked after timing
-    np.asarray(img[:1, :1])  # hard device->host sync (block_until_ready can
-    # acknowledge early through the remote-TPU tunnel)
-    dt = (time.perf_counter() - t0) / n_frames
-    fps = 1.0 / dt
-    for rstats in all_stats:  # EVERY timed frame must be complete
-        pipeline.check_stats(rstats)
+    fps, img = time_flythrough(render_s, bufs, frames, settings)
 
     # --- Secondary metric: cached-sun fly-through -------------------------
     # The reference re-renders its shadow map every frame because GPU
@@ -388,19 +427,40 @@ def main() -> None:
         pass
     if len(sys.argv) <= 1:  # golden only applies to the default scene
         check_golden(img_np, "bench_golden.png", "bench final frame")
+    elif textured and size == 1024:
+        check_golden(img_np, "bench_tex1024.png", "textured bench final frame")
+
+    # --- Secondary metric: reference-working-set textured fly-through -----
+    # The default metric's procedural texture set is ~1.5 MB; the real
+    # Khronos Sponza ships ~24 materials x 3 x 1024^2 maps. Measure the same
+    # fly-through at that working set so the driver-recorded line carries
+    # the honest reference-scale number (VERDICT r4 next #4).
+    textured_fps = None
+    if len(sys.argv) <= 1:
+        tm, to, tmat, tenv = textured_scene(1024)
+        tbufs = build_buffers(tm, to, tmat, tenv)
+        tconfig = pipeline.autotune_pair_caps(
+            buffers=tbufs, params=frames, config=RenderConfig(
+                width=W, height=H, shadow_size=4000
+            ), margin=1.4,
+        )
+        tconfig = dataclasses.replace(tconfig, static_point_lights=4)
+        trender_s = pipeline.make_renderer_stats(tconfig)
+        textured_fps, timg = time_flythrough(trender_s, tbufs, frames, settings)
+        check_golden(np.asarray(timg), "bench_tex1024.png", "textured bench final frame")
+        print(f"textured fly-through: {textured_fps:.2f} fps", file=sys.stderr)
 
     tex_tag = f"_tex{size}" if textured else ""
-    print(
-        json.dumps(
-            {
-                "metric": f"sponza_class_{n_tris // 1000}ktri{tex_tag}_1080p_fps_{jax.default_backend()}",
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 60.0, 4),
-                "cached_sun_fps": round(cached_fps, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"sponza_class_{n_tris // 1000}ktri{tex_tag}_1080p_fps_{jax.default_backend()}",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 60.0, 4),
+        "cached_sun_fps": round(cached_fps, 3),
+    }
+    if textured_fps is not None:
+        out["textured_fps"] = round(textured_fps, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

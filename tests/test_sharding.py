@@ -89,6 +89,40 @@ def test_sharded_tiled_raster_matches_single_chip():
     _assert_frames_match(multi, single)
 
 
+def test_sharded_bench_shaped_geometry_matches_single_chip():
+    """Bench-shaped slab geometry on the FUSED path (VERDICT r4 #5): cam
+    tile rows (3) and shadow tile rows (5) both non-divisible by the 8
+    devices — slabs round up, devices 3..7 get EMPTY camera windows, the
+    frame and shadow map are cropped — with the sun-frustum cull rect and
+    LUT y-band (config defaults) applied per-slab via tile_row0."""
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    W, H, S = 192, 136, 320
+    config = RenderConfig(width=W, height=H, shadow_size=S)
+    assert config.sun_frustum_cull and config.lut_y_skip  # the bench path
+    assert (-(-H // config.tile_h)) % 8 != 0  # 3 cam tile rows
+    assert (-(-S // config.shadow_tile)) % 8 != 0  # 5 shadow tile rows
+    meshes, objects, materials, env = cornell_like_scene()
+    bufs = build_buffers(meshes, objects, materials, env, tri_bucket=256)
+    p = _camera_params(W / H)
+    p = dataclasses.replace(
+        p,
+        camera=dataclasses.replace(
+            p.camera, eye=jnp.asarray([0.0, 4.0, 3.0]),
+            rotation=jnp.asarray([-25.0, -90.0]),
+        ),
+    )
+    single = np.asarray(pipeline.make_renderer(config)(bufs, p, default_settings()))
+    assert (single[..., 0] != single[0, 0, 0]).any(), "scene invisible"
+    mesh = sharding.make_mesh(8)
+    multi = np.asarray(
+        sharding.make_sharded_renderer(config, mesh, check_vma=False)(
+            bufs, p, default_settings()
+        )
+    )
+    assert multi.shape == single.shape
+    _assert_frames_match(multi, single)
+
+
 def test_sharded_matches_single_chip():
     assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
     W, H = 128, 96

@@ -62,6 +62,11 @@ def main():
     )
     txt = lowered.compile().as_text()
     print(f"HLO text: {len(txt) / 1e6:.1f} MB", flush=True)
+    for i, a in enumerate(sys.argv):
+        if a == "--save" and i + 1 < len(sys.argv):
+            with open(sys.argv[i + 1], "w") as f:
+                f.write(txt)
+            print(f"saved HLO to {sys.argv[i + 1]}", flush=True)
 
     # Instruction lines look like:  %fusion.11 = f32[...]{...} fusion(...),
     # kind=kLoop, calls=%fused_computation.N, metadata={op_name="..." ...}
