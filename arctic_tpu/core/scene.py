@@ -292,6 +292,18 @@ class TextureAtlas:
     # Per-material (row base, tiles per row, h, w) rides tri_matrow.
     tiles: jnp.ndarray = None  # (N, 128) i32 merged [tex tiles; env rows]
     tiles_ntex: int = static_field(default=0)
+    # Material-group partition of ``tiles`` (io.build.group_tile_atlas):
+    # reference-scale sets blow past the ~112 MB fast-gather tier (measured
+    # ~1.8 ns/row below, ~9.9 above — tools/probe_gather_cliff), so the
+    # table is laid out as [group-0 tiles | env copy | group-1 tiles | env
+    # copy | ...] with each group's slice under the tier. Rows are
+    # (mstart, env_base, end, mat_lo): absolute row bounds of the slice,
+    # its env-copy base, and the first material id of the group (materials
+    # are grouped contiguously by id). A single entry == the ungrouped
+    # layout (tiles_ntex == that entry's env_base). Consumed by
+    # ops.sampling.tile_tap_resolve_grouped when config.tex_group_caps is
+    # set; the plain full-table gather ignores it.
+    tile_groups: tuple = static_field(default=None)
 
     @property
     def block_grid(self):

@@ -231,6 +231,75 @@ def build_tile_atlas(images: Sequence[np.ndarray]):
     return np.concatenate(parts), metas
 
 
+# Per-group slice budget for reference-scale tile atlases: gathers from
+# (N, 128) tables run ~1.8 ns/row while the table is under ~112 MB and
+# ~9.9 ns/row above (tools/probe_gather_cliff, measured on v5e) — so the
+# atlas is partitioned into material groups whose [tiles + env copy] slices
+# stay under the tier (see group_tile_atlas / sampling.tile_tap_resolve_grouped).
+TEX_GROUP_BUDGET_BYTES = 104 * 1024 * 1024
+
+
+def group_tile_atlas(
+    tiles_np: np.ndarray,
+    metas: np.ndarray,
+    env_rows: np.ndarray,
+    budget_bytes: int = TEX_GROUP_BUDGET_BYTES,
+):
+    """Partition the tile atlas into contiguous material groups, each with
+    its own env copy, so every group's slice sits under the fast-gather tier.
+
+    Returns (table (N', 128) i32, metas', groups): the interleaved layout
+    [g0 tiles | env | g1 tiles | env | ...], per-material metas with bases
+    rebased into it, and ``groups`` rows (mstart, env_base, end, mat_lo)
+    (see core.scene.TextureAtlas.tile_groups). A group's slice
+    [mstart:end] is self-contained: a covered pixel's tile row and an
+    uncovered pixel's env row both live inside it, so a compacted per-group
+    gather needs only that slice. Materials that alone exceed the budget get
+    their own (oversized) group — correctness holds, that group just gathers
+    at the slow tier.
+    """
+    m = len(metas)
+    total = tiles_np.shape[0]
+    counts = [
+        (int(metas[i + 1][0]) if i + 1 < m else total) - int(metas[i][0])
+        for i in range(m)
+    ]
+    e = int(env_rows.shape[0])
+    budget_rows = budget_bytes // (tiles_np.shape[1] * 4)
+    groups_mats: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for i in range(m):
+        if cur and cur_rows + counts[i] + e > budget_rows:
+            groups_mats.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(i)
+        cur_rows += counts[i]
+    if cur:
+        groups_mats.append(cur)
+
+    parts = []
+    groups = []
+    new_metas = metas.copy()
+    base = 0
+    for mats in groups_mats:
+        lo, hi = mats[0], mats[-1]
+        orig_lo = int(metas[lo][0])
+        orig_hi = int(metas[hi][0]) + counts[hi]
+        shift = base - orig_lo
+        for i in mats:
+            new_metas[i][0] = metas[i][0] + shift
+        parts.append(tiles_np[orig_lo:orig_hi])
+        parts.append(env_rows)
+        mstart = base
+        env_base = base + (orig_hi - orig_lo)
+        end = env_base + e
+        groups.append((mstart, env_base, end, lo))
+        base = end
+    assert base < (1 << 24), "tile row bases must stay f32-exact"
+    return np.concatenate(parts), new_metas, tuple(groups)
+
+
 def _pack_rows_128(rows: np.ndarray) -> np.ndarray:
     """(Q, L) -> (ceil(Q*L/128), 128) dense row packing (128 % L == 0)."""
     q, l = rows.shape
@@ -246,6 +315,8 @@ def build_buffers(
     environment: np.ndarray,  # (H, W, 3) f32 linear radiance
     atlas_dtype=jnp.bfloat16,
     tri_bucket: int = 1024,
+    tile_threshold_texels: int | None = None,
+    tex_group_budget: int | None = None,
 ) -> SceneBuffers:
     """Flatten a scene into device buffers (one host->HBM transfer each)."""
     pos_l, nrm_l, tan_l, btn_l, uv_l, vobj_l = [], [], [], [], [], []
@@ -369,7 +440,12 @@ def build_buffers(
             break
         per_mat_hw.append(dims.pop() if dims else (1, 1))
     total_texels = sum(h * w for h, w in per_mat_hw) if tile_ok else 0
-    use_tiles = tile_ok and total_texels > TILE_ATLAS_THRESHOLD_TEXELS
+    threshold = (
+        TILE_ATLAS_THRESHOLD_TEXELS
+        if tile_threshold_texels is None
+        else tile_threshold_texels
+    )
+    use_tiles = tile_ok and total_texels > threshold
 
     if use_tiles:
         images8 = []
@@ -444,6 +520,24 @@ def build_buffers(
         **combined_kw,
     )
 
+    # Environment packing (hoisted above the material-row build: the tile
+    # path interleaves env copies into the tile table, which rebases the
+    # per-material tile addresses the matrow carries).
+    env_np = np.asarray(environment, np.float32)
+    env_rgba = np.concatenate(
+        [env_np, np.ones((*env_np.shape[:2], 1), np.float32)], axis=-1
+    )
+    env_data, env_locs = pack_atlas([env_rgba])
+    env_quads = pack_atlas_quads(env_data)
+
+    tile_groups = None
+    if use_tiles:
+        env_rows_np = _pack_rows_128(env_quads.astype(np.float32)).view(np.int32)
+        tiles_np, tile_meta, tile_groups = group_tile_atlas(
+            tiles_np, tile_meta, env_rows_np,
+            TEX_GROUP_BUDGET_BYTES if tex_group_budget is None else tex_group_budget,
+        )
+
     # Per-triangle material row for the fused shade table:
     # [atlas regions (3 slots x (y,x,h,w)) | mr_consts | nm_consts[:3] |
     #  combined-atlas region (zeros when the combined path is off)].
@@ -479,12 +573,6 @@ def build_buffers(
         slot_static_rows=jnp.asarray(slot_static),
     )
 
-    env_np = np.asarray(environment, np.float32)
-    env_rgba = np.concatenate(
-        [env_np, np.ones((*env_np.shape[:2], 1), np.float32)], axis=-1
-    )
-    env_data, env_locs = pack_atlas([env_rgba])
-    env_quads = pack_atlas_quads(env_data)
     env_atlas = TextureAtlas(
         data=jnp.asarray(env_data, jnp.float32),
         quads=jnp.asarray(env_quads, jnp.float32),
@@ -497,14 +585,17 @@ def build_buffers(
     )
     env = Environment(data=jnp.asarray(env_np), atlas=env_atlas)
     if use_tiles:
-        # Merge env into the tile table (f32 quads bit-viewed as i32 rows;
-        # the resolve kernel bitcasts them back) so the texture+sky tap
-        # stays ONE gather per pixel.
-        env_rows = _pack_rows_128(env_quads.astype(np.float32)).view(np.int32)
+        # The tile table already interleaves env copies per material group
+        # (group_tile_atlas above: f32 quads bit-viewed as i32 rows; the
+        # resolve kernel bitcasts them back) so the texture+sky tap stays
+        # ONE gather per pixel. tiles_ntex keeps the ungrouped semantics:
+        # the env base every consumer may use when it ignores grouping
+        # (any group's env copy holds identical rows).
         atlas = _dc.replace(
             atlas,
-            tiles=jnp.asarray(np.concatenate([tiles_np, env_rows])),
-            tiles_ntex=int(tiles_np.shape[0]),
+            tiles=jnp.asarray(tiles_np),
+            tiles_ntex=int(tile_groups[0][1]),
+            tile_groups=tile_groups,
         )
     if combined:
         from arctic_tpu.ops.sampling import pack_tex_rows

@@ -640,6 +640,7 @@ def shade_gbuffer(
 
     env_atlas = getattr(buffers.environment, "atlas", None)
     background = None
+    tex_fb_rows = jnp.int32(0)  # grouped-tile fallback rows (stats)
     merged_env = (
         atlas.combined_slots is not None
         and env_atlas is not None
@@ -665,24 +666,55 @@ def shade_gbuffer(
             env_atlas.block_grid, ereg[0], ereg[1], ereg[2], ereg[3],
             u_sky, v_sky,
         )
-        idx = jnp.where(covered, trow, atlas.tiles_ntex + eq // 8)
-        shape = idx.shape
-        pn = 1
-        for d in shape:
-            pn *= d
-        pad = -pn % 4096
-
-        def flp(a):
-            return jnp.pad(a.reshape(-1), (0, pad))
-
-        row = atlas.tiles[flp(idx)]  # (P + pad, 128) i32
-        out16 = tile_tap_resolve(
-            row, flp(t_ty), flp(t_tx), flp(eq % 8),
-            flp(tfx), flp(tfy), flp(efx), flp(efy), vma=vma,
+        groups = atlas.tile_groups
+        grouped = (
+            groups is not None
+            and len(groups) > 1
+            and config.tex_group_caps is not None
         )
-        if pad:
-            out16 = out16[:, :pn]
-        out16 = out16.reshape(16, *shape)
+        if grouped:
+            # Per-material-group compacted row gathers (config.tex_group_caps
+            # — see ops.sampling.tile_tap_resolve_grouped): bit-identical
+            # values, ~5x cheaper per row than the full-table gather.
+            from arctic_tpu.ops.sampling import (
+                tile_row_groups,
+                tile_tap_resolve_grouped,
+            )
+
+            caps = config.tex_group_caps
+            assert len(caps) == len(groups) + 1, (caps, len(groups))
+            gid_pix = jnp.zeros(trow.shape, jnp.int32)
+            for g in groups[1:]:
+                gid_pix = gid_pix + (trow >= g[0]).astype(jnp.int32)
+            row_gid, mixed = tile_row_groups(covered, gid_pix, len(groups))
+            env_bases = jnp.asarray([g[1] for g in groups], jnp.int32)
+            idx = jnp.where(
+                covered, trow, env_bases[row_gid][:, None] + eq // 8
+            )
+            out16, tex_fb_rows = tile_tap_resolve_grouped(
+                atlas.tiles, groups, caps, idx, row_gid, mixed,
+                [t_ty, t_tx, eq % 8, tfx, tfy, efx, efy], vma=vma,
+            )
+        else:
+            tex_fb_rows = jnp.int32(0)
+            idx = jnp.where(covered, trow, atlas.tiles_ntex + eq // 8)
+            shape = idx.shape
+            pn = 1
+            for d in shape:
+                pn *= d
+            pad = -pn % 4096
+
+            def flp(a):
+                return jnp.pad(a.reshape(-1), (0, pad))
+
+            row = atlas.tiles[flp(idx)]  # (P + pad, 128) i32
+            out16 = tile_tap_resolve(
+                row, flp(t_ty), flp(t_tx), flp(eq % 8),
+                flp(tfx), flp(tfy), flp(efx), flp(efy), vma=vma,
+            )
+            if pad:
+                out16 = out16[:, :pn]
+            out16 = out16.reshape(16, *shape)
         base_color = out16[0:3]
         nm = out16[3:6]
         mr_g = out16[6]
@@ -878,7 +910,7 @@ def shade_gbuffer(
             sky.sample_environment_cf(buffers.environment, dx, dy, dz), axis=0
         )
     out = jnp.where(covered[None], color, background)
-    return (out, pcf_rows) if with_pcf_rows else out
+    return (out, pcf_rows, tex_fb_rows) if with_pcf_rows else out
 
 
 def build_sun_cache(
@@ -997,7 +1029,7 @@ def render_frame_stats(
                 ibuf_tiles, gbuf = jax.lax.optimization_barrier((ibuf_tiles, gbuf))
         cam_cap = config.pair_capacity(setup.capacity)
         with jax.named_scope("forward_shade_skybox"):
-            hdr, pcf_rows = shade_gbuffer(
+            hdr, pcf_rows, tex_fb_rows = shade_gbuffer(
                 buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
                 tiles_x=config.tiles_x, with_pcf_rows=True,
                 sun_lut=sun_lut, sun_pyr=sun_pyr, lut_y_range=lut_y_range,
@@ -1011,6 +1043,7 @@ def render_frame_stats(
         with jax.named_scope("forward_shade_skybox"):
             hdr = shade(buffers, params, setup, ibuf, world, shadow_map, sun_pv, config)
         pcf_rows = jnp.int32(0)  # classification is a fused-path feature
+        tex_fb_rows = jnp.int32(0)
 
     with jax.named_scope("post_process"):
         if config.hdr_half_round:
@@ -1037,6 +1070,8 @@ def render_frame_stats(
         "shadow_pair_cap": jnp.int32(sh_cap),
         "pcf_rows": pcf_rows,
         "pcf_row_cap": jnp.int32(pcf_row_capacity(config)),
+        "tex_fb_rows": tex_fb_rows,
+        "tex_fb_cap": jnp.int32(tex_fb_capacity(buffers, config)),
     }
     return img, stats
 
@@ -1048,6 +1083,21 @@ def pcf_row_capacity(config: RenderConfig) -> int:
         return 1
     pn = config.num_tiles * config.tile_h * config.tile_w
     return shadow.effective_row_cap(pn, config.pcf_row_cap)
+
+
+def tex_fb_capacity(buffers: SceneBuffers, config: RenderConfig) -> int:
+    """The compiled grouped-tile fallback row capacity (1 = grouping
+    inactive — tex_fb_rows is then always 0, like the pcf/pair reports)."""
+    groups = buffers.atlas.tile_groups
+    if (
+        config.tex_group_caps is None
+        or groups is None
+        or len(groups) <= 1
+        or not config.fused_shade
+        or config.force_bruteforce
+    ):
+        return 1
+    return int(config.tex_group_caps[-1])
 
 
 def check_stats(stats) -> None:
@@ -1072,6 +1122,16 @@ def check_stats(stats) -> None:
                 f"PCF penumbra rows overflowed the compaction buffer "
                 f"({rows} rows > capacity {cap}): overflowing rows got another "
                 f"row's shadow values. Raise RenderConfig.pcf_row_cap."
+            )
+    if "tex_fb_rows" in stats:
+        rows = int(stats["tex_fb_rows"])
+        cap = int(stats["tex_fb_cap"])
+        if rows > cap:
+            raise RenderError(
+                f"grouped-tile fallback rows overflowed ({rows} rows > "
+                f"capacity {cap}): overflowing rows got another row's texture "
+                f"values. Raise RenderConfig.tex_group_caps[-1] (or re-run "
+                f"pipeline.autotune_tex_group_caps with a bigger margin)."
             )
 
 
@@ -1161,6 +1221,82 @@ def autotune_pair_caps(
     return dataclasses.replace(
         config, pair_cap_cam=cap(cam), pair_cap_shadow=cap(sh)
     )
+
+
+def measure_tex_group_rows(buffers: SceneBuffers, params, config: RenderConfig):
+    """Per-frame grouped-tile row needs: (G+1,) ints — uniform 128-px rows
+    claimed per material group plus fallback (mixed) rows — maxed over a
+    params list. Classification matches the render path exactly (same
+    pixel-block rows through ops.sampling.tile_row_groups), so caps sized
+    from this cover the real frames."""
+    import numpy as np
+
+    from arctic_tpu.ops import raster_tiles
+    from arctic_tpu.ops.sampling import tile_row_groups
+
+    groups = buffers.atlas.tile_groups
+    g_n = len(groups)
+    mat_lo = [g[3] for g in groups]
+
+    @jax.jit
+    def counts(buffers, params):
+        geom = buffers.geometry
+        t_cap = geom.capacity
+        wc = world_corners(geom)
+        cam_pv = params.camera.proj_view()
+        tri_valid = jnp.arange(t_cap) < geom.num_tris
+        clipped = raster.near_clip_corners(corners_clip(wc, cam_pv), tri_valid)
+        setup = raster.setup_screen_triangles(
+            clipped, config.width, config.height, cull="back"
+        )
+        _, ibuf = raster_tiles.rasterize_tiled(
+            setup, config.height, config.width, config, crop=False
+        )
+        th, tw = config.tile_h, config.tile_w
+        rows = (
+            ibuf.reshape(config.tiles_y, th, config.tiles_x, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 128)
+        )  # the render path's pixel-block rows (see _untile)
+        covered = rows >= 0
+        tri = jnp.where(covered, rows, 0) % t_cap  # clip slots are [tri; tri]
+        mat = geom.tri_material[tri]
+        gid = jnp.zeros(mat.shape, jnp.int32)
+        for lo in mat_lo[1:]:
+            gid = gid + (mat >= lo).astype(jnp.int32)
+        row_gid, mixed = tile_row_groups(covered, gid, g_n)
+        out = [
+            jnp.sum(((~mixed) & (row_gid == g)).astype(jnp.int32))
+            for g in range(g_n)
+        ]
+        out.append(jnp.sum(mixed.astype(jnp.int32)))
+        return jnp.stack(out)
+
+    params_list = params if isinstance(params, (list, tuple)) else [params]
+    need = np.zeros(g_n + 1, np.int64)
+    for p in params_list:
+        need = np.maximum(need, np.asarray(counts(buffers, p)))
+    return need
+
+
+def autotune_tex_group_caps(
+    buffers: SceneBuffers, params, config: RenderConfig, margin: float = 1.25
+) -> RenderConfig:
+    """Size the grouped-tile row caps (config.tex_group_caps) to a scene /
+    camera path: measure real per-group uniform-row and fallback-row counts
+    and cap at ~margin x, rounded to the kernel's 32-row blocks. The gather
+    work scales with sum(caps), so the margin is deliberately modest; a
+    frame past the tuned fallback cap raises loudly via check_stats (like
+    pair-cap overflow) and the caller can re-tune. No-op for scenes whose
+    tile atlas fits one group (or has no tile atlas at all)."""
+    import dataclasses
+
+    groups = buffers.atlas.tile_groups
+    if groups is None or len(groups) <= 1:
+        return config
+    need = measure_tex_group_rows(buffers, params, config)
+    caps = tuple(max(32, -(-int(n * margin + 32) // 32) * 32) for n in need)
+    return dataclasses.replace(config, tex_group_caps=caps)
 
 
 def render_frame(

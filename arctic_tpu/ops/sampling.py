@@ -444,6 +444,102 @@ def tile_tap_resolve(rows, ty, tx, eqk, tfx, tfy, efx, efy, vma=()):
     )(rows, *args)
 
 
+def tile_row_groups(covered, gid_pix, n_groups: int):
+    """Per-128-px-row material-group verdicts for the grouped tile gather.
+
+    covered / gid_pix: (R, 128) — gid_pix is each covered pixel's material
+    group (junk on uncovered lanes). Returns (row_gid (R,) i32, mixed (R,)
+    bool): rows whose covered pixels all share one group claim it (rows with
+    no covered pixels claim group 0 — their gathers are env rows, which
+    every group's slice carries); rows spanning >1 group are ``mixed`` and
+    take the full-table fallback. Shared by the render path and
+    pipeline.measure_tex_group_rows so autotuned caps match exactly."""
+    big = jnp.int32(n_groups)
+    gmin = jnp.min(jnp.where(covered, gid_pix, big), axis=1)
+    gmax = jnp.max(jnp.where(covered, gid_pix, -1), axis=1)
+    has_cov = gmax >= 0
+    row_gid = jnp.where(has_cov, jnp.maximum(gmax, 0), 0)
+    mixed = has_cov & (gmin != gmax)
+    return row_gid, mixed
+
+
+def tile_tap_resolve_grouped(tiles, groups, caps, idx, row_gid, mixed, aux, vma=()):
+    """Compacted per-group tile/env gathers + tap resolve + row reassembly.
+
+    tiles: the full interleaved (N, 128) i32 table (io.build.group_tile_atlas
+    layout); groups: TextureAtlas.tile_groups; caps: len(groups)+1 static
+    row capacities, each a multiple of 32, last = fallback; idx: (R, 128)
+    absolute gather rows (covered pixels their tile row, uncovered their
+    claimed group's env row); row_gid / mixed from tile_row_groups; aux: the
+    7 per-pixel (R, 128) planes tile_tap_resolve consumes (ty, tx, eq%8,
+    tfx, tfy, efx, efy). Returns (out16 (16, R, 128) f32, fb_rows scalar).
+
+    Routing: rows uniform in group g are compacted (stable argsort — the
+    pcf_row_cap pattern, ops/shadow.py:909) and gather from the group's
+    STATIC slice, which sits under the ~112 MB fast-gather tier (~1.8 vs
+    ~9.9 ns/row on the full reference-scale table, tools/probe_gather_cliff);
+    mixed rows and per-group cap overflow spill to a compacted full-table
+    fallback. Kept rows' pixels see bit-identical gather rows and aux values
+    to the plain path and reassembly is a pure row permutation, so the frame
+    is BIT-IDENTICAL (tests/test_tex_groups.py). fb_rows > caps[-1] means
+    fallback overflow: those rows carry another row's values — the caller
+    must treat it like pair-buffer overflow (pipeline.check_stats raises).
+    """
+    g_n = len(groups)
+    assert len(caps) == g_n + 1 and all(c % 32 == 0 and c > 0 for c in caps)
+    assert idx.ndim == 2 and idx.shape[1] == 128
+    r = idx.shape[0]
+    pad = -r % 32
+    rp = r + pad
+    caps = tuple(min(c, rp) for c in caps)  # a cap never needs > all rows
+    if pad:
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        row_gid = jnp.pad(row_gid, (0, pad))
+        mixed = jnp.pad(mixed, (0, pad))
+        aux = [jnp.pad(a, ((0, pad), (0, 0))) for a in aux]
+    parts = []  # (kept, order, rank) per group, then the fallback
+    kept_any = jnp.zeros((rp,), bool)
+    for g in range(g_n):
+        member = (~mixed) & (row_gid == g)
+        rank = jnp.cumsum(member.astype(jnp.int32)) - 1
+        kept = member & (rank < caps[g])
+        kept_any = kept_any | kept
+        order = jnp.argsort(jnp.where(kept, 0, 1), stable=True)[: caps[g]]
+        parts.append((kept, order, rank))
+    fb = ~kept_any
+    fb_rows = jnp.sum(fb.astype(jnp.int32))
+    fb_rank = jnp.cumsum(fb.astype(jnp.int32)) - 1
+    fb_order = jnp.argsort(jnp.where(fb, 0, 1), stable=True)[: caps[g_n]]
+    parts.append((fb, fb_order, fb_rank))
+
+    outs = []
+    for g, (kept, order, rank) in enumerate(parts):
+        if g < g_n:
+            lo, _env_base, hi, _mat_lo = groups[g]
+            src = tiles[lo:hi]
+        else:
+            lo, hi = 0, tiles.shape[0]
+            src = tiles
+        # Unclaimed slots past a part's row count hold junk rows whose
+        # gathers are clipped into range and never read back.
+        loc = jnp.clip(idx - lo, 0, hi - lo - 1)
+        cidx = loc[order].reshape(-1)
+        caux = [a[order].reshape(-1) for a in aux]
+        out16 = tile_tap_resolve(src[cidx], *caux, vma=vma)
+        outs.append(out16.reshape(16, caps[g], 128))
+
+    stream = jnp.concatenate(outs, axis=1)  # (16, sum(caps), 128)
+    offs = [0]
+    for c in caps:
+        offs.append(offs[-1] + c)
+    srow = jnp.zeros((rp,), jnp.int32)
+    for g, (kept, order, rank) in enumerate(parts):
+        srow = jnp.where(kept, offs[g] + jnp.clip(rank, 0, caps[g] - 1), srow)
+    planes = [stream[ch][srow] for ch in range(16)]
+    out16 = jnp.stack(planes, axis=0)[:, :r, :]
+    return out16, fb_rows
+
+
 def quad_index(block_grid, ry, rx, rh, rw, u, v):
     """Shared index math of the quad samplers -> (q, fx, fy).
 

@@ -125,7 +125,7 @@ def render_frame_sharded_stats(
             )
             img = tonemap.to_unorm8(ldr)
             zero = jnp.int32(0)
-            return img, zero, zero, zero
+            return img, zero, zero, zero, zero
 
         # --- fused path: the single-chip round-2 architecture per slab ---
         wc = pipeline.world_corners(geom)
@@ -173,7 +173,7 @@ def render_frame_sharded_stats(
             # Same start_y band the single-chip path uses (replicated
             # inputs, so the skipped LUT steps agree on every device).
             lut_y_range = jnp.stack(sh_y_band).astype(jnp.int32)
-        hdr, pcf_rows = pipeline.shade_gbuffer(
+        hdr, pcf_rows, tex_fb_rows = pipeline.shade_gbuffer(
             buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
             tiles_x=config.tiles_x, tile_row0=d * cam_rows_dev, vma=vma,
             with_pcf_rows=True, lut_y_range=lut_y_range,
@@ -192,7 +192,8 @@ def render_frame_sharded_stats(
         cam_pairs = jax.lax.pmax(cam_pairs, AXIS)
         sh_pairs = jax.lax.pmax(sh_pairs.total_pairs, AXIS)
         pcf_rows = jax.lax.pmax(pcf_rows, AXIS)
-        return img, cam_pairs, sh_pairs, pcf_rows
+        tex_fb_rows = jax.lax.pmax(tex_fb_rows, AXIS)
+        return img, cam_pairs, sh_pairs, pcf_rows, tex_fb_rows
 
     # check_vma=False is needed for the Pallas-tiled path in interpret mode
     # (jax 0.9's pallas interpreter mixes varying/unvarying internally);
@@ -201,10 +202,12 @@ def render_frame_sharded_stats(
         device_frame,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(), P(), P(), P()),
         check_vma=check_vma,
     )
-    img, cam_pairs, sh_pairs, pcf_rows = fn(buffers, params, settings)
+    img, cam_pairs, sh_pairs, pcf_rows, tex_fb_rows = fn(
+        buffers, params, settings
+    )
     geom_cap = buffers.geometry.capacity
     # Brute-force capacity path reports 0/1 (can't overflow), like _rasterize.
     bf = config.force_bruteforce
@@ -226,6 +229,12 @@ def render_frame_sharded_stats(
         ),
         "pcf_rows": pcf_rows,
         "pcf_row_cap": jnp.int32(pcf_cap),
+        "tex_fb_rows": tex_fb_rows,
+        "tex_fb_cap": jnp.int32(
+            config.tex_group_caps[-1]
+            if (not bf and config.tex_group_caps is not None)
+            else 1
+        ),
     }
     return img[: config.height], stats
 

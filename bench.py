@@ -365,6 +365,11 @@ def main() -> None:
     # fused BRDF pass (the reference's shader also specializes nothing here —
     # its loop runs on free ALUs; ours costs an HBM round-trip per light).
     config = dataclasses.replace(config, static_point_lights=4)
+    if textured:
+        # Grouped-tile row caps (fast-tier compacted gathers; bit-identical
+        # frames — see RenderConfig.tex_group_caps).
+        config = pipeline.autotune_tex_group_caps(bufs, frames, config)
+        print(f"tex group caps: {config.tex_group_caps}", file=sys.stderr)
     print(
         f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}",
         file=sys.stderr,
@@ -445,6 +450,8 @@ def main() -> None:
             ), margin=1.4,
         )
         tconfig = dataclasses.replace(tconfig, static_point_lights=4)
+        tconfig = pipeline.autotune_tex_group_caps(tbufs, frames, tconfig)
+        print(f"tex group caps: {tconfig.tex_group_caps}", file=sys.stderr)
         trender_s = pipeline.make_renderer_stats(tconfig)
         textured_fps, timg = time_flythrough(trender_s, tbufs, frames, settings)
         check_golden(np.asarray(timg), "bench_tex1024.png", "textured bench final frame")
