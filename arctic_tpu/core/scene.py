@@ -297,13 +297,16 @@ class TextureAtlas:
     # ~1.8 ns/row below, ~9.9 above — tools/probe_gather_cliff), so the
     # table is laid out as [group-0 tiles | env copy | group-1 tiles | env
     # copy | ...] with each group's slice under the tier. Rows are
-    # (mstart, env_base, end, mat_lo): absolute row bounds of the slice,
-    # its env-copy base, and the first material id of the group (materials
-    # are grouped contiguously by id). A single entry == the ungrouped
-    # layout (tiles_ntex == that entry's env_base). Consumed by
+    # (mstart, env_base, end): absolute row bounds of the slice and its
+    # env-copy base. A single entry == the ungrouped layout (tiles_ntex ==
+    # that entry's env_base). Consumed by
     # ops.sampling.tile_tap_resolve_grouped when config.tex_group_caps is
-    # set; the plain full-table gather ignores it.
+    # set; the plain full-table gather ignores it. tile_group_of maps
+    # material id -> group (groups may be non-contiguous in material id —
+    # io.texplan plans them from measured row co-occurrence).
     tile_groups: tuple = static_field(default=None)
+    tile_group_of: tuple = static_field(default=None)
+    tile_mat_rows: tuple = static_field(default=None)  # tile rows per material
 
     @property
     def block_grid(self):

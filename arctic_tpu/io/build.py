@@ -244,19 +244,25 @@ def group_tile_atlas(
     metas: np.ndarray,
     env_rows: np.ndarray,
     budget_bytes: int = TEX_GROUP_BUDGET_BYTES,
+    explicit_groups=None,
 ):
-    """Partition the tile atlas into contiguous material groups, each with
-    its own env copy, so every group's slice sits under the fast-gather tier.
+    """Partition the tile atlas into material groups, each with its own env
+    copy, so every group's slice sits under the fast-gather tier.
 
-    Returns (table (N', 128) i32, metas', groups): the interleaved layout
-    [g0 tiles | env | g1 tiles | env | ...], per-material metas with bases
-    rebased into it, and ``groups`` rows (mstart, env_base, end, mat_lo)
-    (see core.scene.TextureAtlas.tile_groups). A group's slice
-    [mstart:end] is self-contained: a covered pixel's tile row and an
-    uncovered pixel's env row both live inside it, so a compacted per-group
-    gather needs only that slice. Materials that alone exceed the budget get
-    their own (oversized) group — correctness holds, that group just gathers
-    at the slow tier.
+    Returns (table (N', 128) i32, metas', groups, group_of, mat_rows): the
+    interleaved layout [g0 tiles | env | g1 tiles | env | ...], per-material
+    metas with bases rebased into it, ``groups`` rows (mstart, env_base,
+    end) (see core.scene.TextureAtlas.tile_groups), the material -> group
+    map, and tile rows per material.
+    A group's slice [mstart:end] is self-contained: a covered pixel's tile
+    row and an uncovered pixel's env row both live inside it, so a compacted
+    per-group gather needs only that slice.
+
+    ``explicit_groups`` (list of material-id lists, e.g. from
+    io.texplan.plan_material_groups' co-occurrence anneal) overrides the
+    default contiguous-by-id greedy packing; the table lays materials out
+    in that order. Materials/groups that alone exceed the budget still get
+    a slice — correctness holds, the slice just gathers at the slow tier.
     """
     m = len(metas)
     total = tiles_np.shape[0]
@@ -266,38 +272,48 @@ def group_tile_atlas(
     ]
     e = int(env_rows.shape[0])
     budget_rows = budget_bytes // (tiles_np.shape[1] * 4)
-    groups_mats: list[list[int]] = []
-    cur: list[int] = []
-    cur_rows = 0
-    for i in range(m):
-        if cur and cur_rows + counts[i] + e > budget_rows:
+    if explicit_groups is not None:
+        groups_mats = [list(g) for g in explicit_groups if len(g)]
+        flat = sorted(mi for g in groups_mats for mi in g)
+        assert flat == list(range(m)), "explicit_groups must partition materials"
+    else:
+        groups_mats = []
+        cur: list[int] = []
+        cur_rows = 0
+        for i in range(m):
+            if cur and cur_rows + counts[i] + e > budget_rows:
+                groups_mats.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(i)
+            cur_rows += counts[i]
+        if cur:
             groups_mats.append(cur)
-            cur, cur_rows = [], 0
-        cur.append(i)
-        cur_rows += counts[i]
-    if cur:
-        groups_mats.append(cur)
 
     parts = []
     groups = []
+    group_of = [0] * m
     new_metas = metas.copy()
     base = 0
-    for mats in groups_mats:
-        lo, hi = mats[0], mats[-1]
-        orig_lo = int(metas[lo][0])
-        orig_hi = int(metas[hi][0]) + counts[hi]
-        shift = base - orig_lo
-        for i in mats:
-            new_metas[i][0] = metas[i][0] + shift
-        parts.append(tiles_np[orig_lo:orig_hi])
-        parts.append(env_rows)
+    for gi, mats in enumerate(groups_mats):
         mstart = base
-        env_base = base + (orig_hi - orig_lo)
-        end = env_base + e
-        groups.append((mstart, env_base, end, lo))
-        base = end
+        for i in mats:
+            orig = int(metas[i][0])
+            parts.append(tiles_np[orig : orig + counts[i]])
+            new_metas[i][0] = base
+            group_of[i] = gi
+            base += counts[i]
+        parts.append(env_rows)
+        env_base = base
+        base = env_base + e
+        groups.append((mstart, env_base, base))
     assert base < (1 << 24), "tile row bases must stay f32-exact"
-    return np.concatenate(parts), new_metas, tuple(groups)
+    return (
+        np.concatenate(parts),
+        new_metas,
+        tuple(groups),
+        tuple(group_of),
+        tuple(counts),
+    )
 
 
 def _pack_rows_128(rows: np.ndarray) -> np.ndarray:
@@ -317,6 +333,7 @@ def build_buffers(
     tri_bucket: int = 1024,
     tile_threshold_texels: int | None = None,
     tex_group_budget: int | None = None,
+    tex_groups=None,
 ) -> SceneBuffers:
     """Flatten a scene into device buffers (one host->HBM transfer each)."""
     pos_l, nrm_l, tan_l, btn_l, uv_l, vobj_l = [], [], [], [], [], []
@@ -530,12 +547,13 @@ def build_buffers(
     env_data, env_locs = pack_atlas([env_rgba])
     env_quads = pack_atlas_quads(env_data)
 
-    tile_groups = None
+    tile_groups = tile_group_of = tile_mat_rows = None
     if use_tiles:
         env_rows_np = _pack_rows_128(env_quads.astype(np.float32)).view(np.int32)
-        tiles_np, tile_meta, tile_groups = group_tile_atlas(
+        tiles_np, tile_meta, tile_groups, tile_group_of, tile_mat_rows = group_tile_atlas(
             tiles_np, tile_meta, env_rows_np,
             TEX_GROUP_BUDGET_BYTES if tex_group_budget is None else tex_group_budget,
+            explicit_groups=tex_groups,
         )
 
     # Per-triangle material row for the fused shade table:
@@ -596,6 +614,8 @@ def build_buffers(
             tiles=jnp.asarray(tiles_np),
             tiles_ntex=int(tile_groups[0][1]),
             tile_groups=tile_groups,
+            tile_group_of=tile_group_of,
+            tile_mat_rows=tile_mat_rows,
         )
     if combined:
         from arctic_tpu.ops.sampling import pack_tex_rows

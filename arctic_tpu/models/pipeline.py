@@ -140,7 +140,7 @@ def _rasterize(
 
 def shadow_pass(
     geom: Geometry, sun_pv: Array, config: RenderConfig, sun_clip=None,
-    cull_rect=None,
+    cull_rect=None, lut_rows: bool = False,
 ) -> Array:
     """Depth-only pass from the sun's view (shadow_map_pass.cpp:113-169).
 
@@ -153,6 +153,11 @@ def shadow_pass(
     skips binning/rasterizing tiles no shaded pixel's PCF window can read
     (texels there keep the 1.0 clear). In-rect tiles get identical pair
     lists, so sampled texels — and the frame — are bit-identical.
+
+    ``lut_rows``: emit the depth ROW-major in the window-LUT build's input
+    layout instead of an untiled (S, S) map (the untile transpose + retile
+    copies cost ~0.5 ms/frame at 4000^2 — see bin_and_rasterize). Values
+    are identical; only the layout differs (rows [S:], cols [S:] junk).
     """
     if sun_clip is None:
         sun_clip = corners_clip(world_corners(geom), sun_pv)
@@ -160,6 +165,20 @@ def shadow_pass(
     clipped = raster.near_clip_corners(sun_clip, tri_valid)
     s = config.shadow_size
     setup = raster.setup_screen_triangles(clipped, s, s, cull="front")
+    if lut_rows:
+        from arctic_tpu.ops import raster_tiles
+
+        st = config.shadow_tile
+        sth = config.shadow_tile_h or st
+        tiles_x = -(-s // st)
+        tile_rows = -(-s // sth)
+        zflat, _, _, pairs, _ = raster_tiles.bin_and_rasterize(
+            setup, s, config, tiles_x, tile_rows, sth, st, 0,
+            kind="shadow", depth_only=True, rect=cull_rect, lut_rows=True,
+        )
+        return zflat, pairs.total_pairs, config.pair_capacity(
+            setup.capacity, "shadow"
+        )
     zbuf, _, pairs, cap = _rasterize(
         setup, s, s, config, tile=config.shadow_tile,
         tile_h=config.shadow_tile_h, kind="shadow", rect=cull_rect,
@@ -568,6 +587,7 @@ def shade_gbuffer(
     sun_lut: Array | None = None,
     sun_pyr: Array | None = None,
     lut_y_range: Array | None = None,
+    lut_raw: Array | None = None,
 ):
     """forward.hlsl ps_main over the fused kernel's G-buffer, LANE-major.
 
@@ -686,22 +706,18 @@ def shade_gbuffer(
             gid_pix = jnp.zeros(trow.shape, jnp.int32)
             for g in groups[1:]:
                 gid_pix = gid_pix + (trow >= g[0]).astype(jnp.int32)
-            row_gid, mixed = tile_row_groups(covered, gid_pix, len(groups))
-            env_bases = jnp.asarray([g[1] for g in groups], jnp.int32)
-            idx = jnp.where(
-                covered, trow, env_bases[row_gid][:, None] + eq // 8
-            )
+            g_lo, g_hi, many = tile_row_groups(covered, gid_pix, len(groups))
             out16, tex_fb_rows = tile_tap_resolve_grouped(
-                atlas.tiles, groups, caps, idx, row_gid, mixed,
+                atlas.tiles, groups, caps, trow, covered, eq // 8,
+                gid_pix, g_lo, g_hi, many,
                 [t_ty, t_tx, eq % 8, tfx, tfy, efx, efy], vma=vma,
             )
         else:
             tex_fb_rows = jnp.int32(0)
             idx = jnp.where(covered, trow, atlas.tiles_ntex + eq // 8)
             shape = idx.shape
-            pn = 1
-            for d in shape:
-                pn *= d
+            assert len(shape) == 2 and shape[1] == 128, shape
+            pn = shape[0] * 128
             pad = -pn % 4096
 
             def flp(a):
@@ -711,10 +727,9 @@ def shade_gbuffer(
             out16 = tile_tap_resolve(
                 row, flp(t_ty), flp(t_tx), flp(eq % 8),
                 flp(tfx), flp(tfy), flp(efx), flp(efy), vma=vma,
-            )
+            )  # (16, rows, 128) pixel-block planes
             if pad:
-                out16 = out16[:, :pn]
-            out16 = out16.reshape(16, *shape)
+                out16 = out16[:, : shape[0]]
         base_color = out16[0:3]
         nm = out16[3:6]
         mr_g = out16[6]
@@ -757,9 +772,8 @@ def shade_gbuffer(
         # (P, 128) rows pixel-minor — 1.66 ms — and ran the slice selects
         # as strided fusions; arithmetic is identical, tests pin it).
         shape = idx.shape
-        pn = 1
-        for d in shape:
-            pn *= d
+        assert len(shape) == 2 and shape[1] == 128, shape
+        pn = shape[0] * 128
         pad = -pn % 4096
         row = merged[jnp.pad(idx.reshape(-1), (0, pad))]  # (P + pad, 128)
         from arctic_tpu.ops.sampling import tap_resolve
@@ -774,15 +788,11 @@ def shade_gbuffer(
             jnp.pad(efy.reshape(-1), (0, pad)),
             c4=c4,
             vma=vma,
-        )
-        nch = c4 // 4
-        # (16, P) -> (16, R, 128): a free bitcast when pad == 0 (1080p);
-        # the per-channel [i, :pn].reshape + 3-way stacks paid a 0.88 ms
-        # re-slicing fusion per frame. Contiguous [base:base+3] slices
-        # replace the stacks outright.
+        )  # (16, rows, 128) pixel-block channel planes (kernel-native
+        # layout — the old (16, P) form paid a 134 MB relayout, copy.307)
         if pad:
-            out16 = out16[:, :pn]
-        out16 = out16.reshape(16, *shape)
+            out16 = out16[:, : shape[0]]
+        nch = c4 // 4
         background = out16[nch : nch + 3]
         slot_base = {s: 4 * i for i, s in enumerate(atlas.combined_slots)}
 
@@ -848,6 +858,7 @@ def shade_gbuffer(
         shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma,
         care=covered, row_cap=config.pcf_row_cap, with_rows=True,
         lut=sun_lut, pyramid=sun_pyr, lut_y_range=lut_y_range,
+        raw_flat=lut_raw, map_size=config.shadow_size,
     )
     lit = (1.0 - shadow_f)[None]  # (1, T, S)
 
@@ -976,7 +987,21 @@ def render_frame_stats(
 
     # named_scope = the frame graph's pass labels in HLO/profiler traces
     # (the Tracy zone analogue, SURVEY.md §5.1).
-    sun_lut = sun_pyr = lut_y_range = None
+    sun_lut = sun_pyr = lut_y_range = lut_raw = None
+    # Row-major shadow raster straight into the LUT build's input layout
+    # (shadow_pass lut_rows): only when this trace's PCF will take the
+    # quant-LUT path (same condition pcf_shadow_proj uses) and the shadow
+    # tiling matches the assembler's 64-px-pair scheme.
+    from arctic_tpu.ops import shadow as shadow_ops
+
+    use_lut_rows = (
+        fused
+        and sun_cache is None
+        and shadow_ops.PCF_QUANT
+        and (jax.default_backend() == "tpu" or config.pcf_row_cap is not None)
+        and config.shadow_tile == 64
+        and config.tiles_per_step % 2 == 0
+    )
     with jax.named_scope("shadow_pass"):
         if sun_cache is None:
             cull_rect = None
@@ -992,9 +1017,17 @@ def render_frame_stats(
                     # rect: the wrap extension widens the rect at map edges
                     # but never the consumed start_y range.
                     lut_y_range = jnp.stack(y_band).astype(jnp.int32)
-            shadow_map, sh_pairs, sh_cap = shadow_pass(
-                geom, sun_pv, config, sun_clip=sun_clip, cull_rect=cull_rect
-            )
+            if use_lut_rows:
+                lut_raw, sh_pairs, sh_cap = shadow_pass(
+                    geom, sun_pv, config, sun_clip=sun_clip,
+                    cull_rect=cull_rect, lut_rows=True,
+                )
+                shadow_map = None
+            else:
+                shadow_map, sh_pairs, sh_cap = shadow_pass(
+                    geom, sun_pv, config, sun_clip=sun_clip,
+                    cull_rect=cull_rect,
+                )
         else:
             shadow_map = sun_cache.shadow_map
             sun_lut, sun_pyr = sun_cache.lutq, sun_cache.pyramid
@@ -1033,6 +1066,7 @@ def render_frame_stats(
                 buffers, params, gbuf, ibuf_tiles >= 0, shadow_map, config,
                 tiles_x=config.tiles_x, with_pcf_rows=True,
                 sun_lut=sun_lut, sun_pyr=sun_pyr, lut_y_range=lut_y_range,
+                lut_raw=lut_raw,
             )
     else:
         world = vertex_world_positions(geom)
@@ -1236,7 +1270,7 @@ def measure_tex_group_rows(buffers: SceneBuffers, params, config: RenderConfig):
 
     groups = buffers.atlas.tile_groups
     g_n = len(groups)
-    mat_lo = [g[3] for g in groups]
+    group_of = jnp.asarray(buffers.atlas.tile_group_of, jnp.int32)
 
     @jax.jit
     def counts(buffers, params):
@@ -1260,16 +1294,15 @@ def measure_tex_group_rows(buffers: SceneBuffers, params, config: RenderConfig):
         )  # the render path's pixel-block rows (see _untile)
         covered = rows >= 0
         tri = jnp.where(covered, rows, 0) % t_cap  # clip slots are [tri; tri]
-        mat = geom.tri_material[tri]
-        gid = jnp.zeros(mat.shape, jnp.int32)
-        for lo in mat_lo[1:]:
-            gid = gid + (mat >= lo).astype(jnp.int32)
-        row_gid, mixed = tile_row_groups(covered, gid, g_n)
+        gid = group_of[geom.tri_material[tri]]
+        g_lo, g_hi, many = tile_row_groups(covered, gid, g_n)
         out = [
-            jnp.sum(((~mixed) & (row_gid == g)).astype(jnp.int32))
+            jnp.sum(
+                ((~many) & ((g_lo == g) | (g_hi == g))).astype(jnp.int32)
+            )
             for g in range(g_n)
         ]
-        out.append(jnp.sum(mixed.astype(jnp.int32)))
+        out.append(jnp.sum(many.astype(jnp.int32)))
         return jnp.stack(out)
 
     params_list = params if isinstance(params, (list, tuple)) else [params]
@@ -1277,6 +1310,83 @@ def measure_tex_group_rows(buffers: SceneBuffers, params, config: RenderConfig):
     for p in params_list:
         need = np.maximum(need, np.asarray(counts(buffers, p)))
     return need
+
+
+def measure_tex_row_masks(buffers: SceneBuffers, params, config: RenderConfig):
+    """Per-128-px-row material bitmasks over a params list — (F, R) int64
+    host array (supports up to 64 materials; two i32 words on device since
+    x64 stays off). Input data for io.texplan.plan_material_groups."""
+    import numpy as np
+
+    from arctic_tpu.ops import raster_tiles
+
+    @jax.jit
+    def rowmasks(buffers, params):
+        geom = buffers.geometry
+        t_cap = geom.capacity
+        wc = world_corners(geom)
+        cam_pv = params.camera.proj_view()
+        tri_valid = jnp.arange(t_cap) < geom.num_tris
+        clipped = raster.near_clip_corners(corners_clip(wc, cam_pv), tri_valid)
+        setup = raster.setup_screen_triangles(
+            clipped, config.width, config.height, cull="back"
+        )
+        _, ibuf = raster_tiles.rasterize_tiled(
+            setup, config.height, config.width, config, crop=False
+        )
+        th, tw = config.tile_h, config.tile_w
+        rows = (
+            ibuf.reshape(config.tiles_y, th, config.tiles_x, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 128)
+        )
+        covered = rows >= 0
+        mat = geom.tri_material[jnp.where(covered, rows, 0) % t_cap]
+        lo = jnp.where(covered & (mat < 32), jnp.int32(1) << mat, 0)
+        hi = jnp.where(
+            covered & (mat >= 32), jnp.int32(1) << (mat - 32), 0
+        )
+        import jax as _jax
+
+        return (
+            _jax.lax.reduce_or(lo, axes=(1,)),
+            _jax.lax.reduce_or(hi, axes=(1,)),
+        )
+
+    params_list = params if isinstance(params, (list, tuple)) else [params]
+    out = []
+    for p in params_list:
+        lo, hi = rowmasks(buffers, p)
+        out.append(
+            (np.asarray(hi).astype(np.int64) << 32)
+            | (np.asarray(lo).astype(np.int64) & 0xFFFFFFFF)
+        )
+    return np.stack(out)
+
+
+def plan_tex_groups(buffers: SceneBuffers, params, config: RenderConfig):
+    """Measure row masks over a camera path and anneal a material grouping
+    (io.texplan). Returns a groups list for build_buffers(tex_groups=...),
+    or None when the scene has no multi-group tile atlas (or > 64
+    materials). The caller rebuilds buffers with the plan and then sizes
+    caps with autotune_tex_group_caps."""
+    atlas = buffers.atlas
+    groups = atlas.tile_groups
+    if groups is None or len(groups) <= 1:
+        return None
+    n_mats = len(atlas.tile_group_of)
+    if n_mats > 64:
+        return None
+    from arctic_tpu.io.build import TEX_GROUP_BUDGET_BYTES
+    from arctic_tpu.io.texplan import plan_material_groups
+
+    env_rows = groups[0][2] - groups[0][1]
+    budget_rows = TEX_GROUP_BUDGET_BYTES // 512
+    masks = measure_tex_row_masks(buffers, params, config)
+    plan, _cost = plan_material_groups(
+        masks, list(atlas.tile_mat_rows), env_rows, budget_rows
+    )
+    return plan
 
 
 def autotune_tex_group_caps(

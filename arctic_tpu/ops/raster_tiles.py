@@ -370,8 +370,19 @@ def _raster_kernel(
     depth_only: bool = False,
     tps: int = 1,
     full_rows: bool = False,
+    lut_rows: bool = False,
 ):
-    if depth_only:
+    if lut_rows:
+        # Depth-only variant emitting ROW-major (th, tps*tw) blocks — the
+        # window-LUT build's input layout — instead of tile-major blocks.
+        # The tile-major z then needed an _untile transpose + a retile copy
+        # before the LUT kernel could DMA row slabs (~0.5 ms at 4000^2,
+        # hlo_r5a copy_bitcast_fusion + copy.308). z accumulates in VMEM
+        # scratch; pairs of 64-px tiles assemble into full 128-lane rows.
+        zflat_ref, zs, rows_smem, sems = out_scratch
+        zref = zs
+        iref = None
+    elif depth_only:
         zref, rows_smem, sems = out_scratch
         iref = None
     else:
@@ -476,6 +487,23 @@ def _raster_kernel(
                 return 0
 
             jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    if lut_rows:
+        # Assemble the step's tps 64-px-wide tiles into (tile_h, tps * 64)
+        # row-major depth: tile pairs (2j, 2j+1) form full 128-lane rows.
+        # In a 64-wide tile, pixel row r lives at sublane r // 2, lane half
+        # (r % 2) * 64 — the interleave is two lane-half merges (roll +
+        # select) and one sublane expansion.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
+        for j in range(tps // 2):
+            a = zref[2 * j]
+            b = zref[2 * j + 1]
+            a_roll = pltpu.roll(a, 64, 1)
+            b_roll = pltpu.roll(b, 64, 1)
+            even = jnp.where(lane128 < 64, a, b_roll)  # pixel rows 2q
+            odd = jnp.where(lane128 < 64, a_roll, b)  # pixel rows 2q + 1
+            inter = jnp.stack([even, odd], axis=1).reshape(2 * sublanes, 128)
+            zflat_ref[:, 128 * j : 128 * (j + 1)] = inter
 
 
 def _untile(buf: Array, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int) -> Array:
@@ -854,12 +882,21 @@ def bin_and_rasterize(
     depth_only: bool = False,
     shade_rows: Array | None = None,
     rect=None,
+    lut_rows: bool = False,
 ):
     """Bin + tile-raster; returns tile-major (zt, it), the segment lists,
     the pair stats, and the pair-ordered row table (for the fused shading
     kernel). With depth_only NO ibuf is produced (it is None) — the shadow
     pass discards it, so the kernel emits only the z planes (skipping the
     slot-id select work and the 65 MB/frame ibuf write at 4000^2).
+
+    With ``lut_rows`` (depth_only, tile_w == 64, tps even) zt is instead a
+    ROW-major (tile_rows * th, ceil(tiles_x/tps) * tps * 64) depth buffer —
+    the PCF window-LUT build's input layout, skipping the tile-unshuffle
+    transpose + retile copies (~0.5 ms/frame at 4000^2). Tile columns are
+    padded to a tps multiple so every grid step's tps tiles share one
+    output row-block; padded columns bin no pairs (the bbox clamp keeps
+    real tiles) and emit the 1.0 clear.
 
     When ``shade_rows`` is given, the raster kernel streams the 128-lane
     shade-row table itself (raster planes live at lanes [112:125)) — ONE
@@ -909,6 +946,55 @@ def bin_and_rasterize(
     # Batch tiles per grid step to amortize per-step sequencing overhead
     # (~1 us/step; the shadow pass has ~4k mostly-small tiles).
     tps = config.tiles_per_step
+    if lut_rows:
+        assert depth_only and tw == 64 and tps % 2 == 0
+        # Pad tile COLUMNS to a tps multiple: each grid step's tps tiles
+        # then lie in one tile row and share one (th, tps*64) output block.
+        tiles_x_pad = -(-tiles_x // tps) * tps
+        steps_per_row = tiles_x_pad // tps
+        steps = tile_rows * steps_per_row
+        nt_pad = steps * tps
+        ts2 = pairs.tile_start[:-1].reshape(tile_rows, tiles_x)
+        sl2 = jnp.diff(pairs.tile_start).reshape(tile_rows, tiles_x)
+        seg_start = jnp.pad(ts2, ((0, 0), (0, tiles_x_pad - tiles_x))).reshape(-1)
+        seg_len = jnp.pad(sl2, ((0, 0), (0, tiles_x_pad - tiles_x))).reshape(-1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(steps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec(
+                    (th, tps * 64),
+                    lambda i, *_, spr=steps_per_row: (i // spr, i % spr),
+                )
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tps, sublanes, 128), jnp.float32),
+                pltpu.SMEM(
+                    (2, chunk, 128) if full_rows else (2, chunk // 8, 128),
+                    jnp.float32,
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _raster_kernel, tiles_x=tiles_x_pad, tile_h=th, tile_w=tw,
+            chunk=chunk, depth_only=True, tps=tps, full_rows=full_rows,
+            lut_rows=True,
+        )
+        zflat = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (tile_rows * th, tiles_x_pad * 64), jnp.float32,
+                    vma=frozenset(vma),
+                )
+            ],
+            interpret=_interpret(),
+        )(seg_start, seg_len, row0_arr, rows)[0]
+        return zflat, None, (seg_start, seg_len), pairs, rows
+
     steps = -(-num_tiles // tps)
     nt_pad = steps * tps
     seg_start = jnp.pad(pairs.tile_start[:-1], (0, nt_pad - num_tiles))

@@ -288,12 +288,20 @@ def _tap_resolve_kernel(
     pad = 16 - (c + 4)
     if pad:
         parts.append(jnp.zeros((pad, x.shape[0]), jnp.float32))
-    out_ref[...] = jnp.concatenate(parts, axis=0)
+    out_ref[...] = jnp.concatenate(parts, axis=0).reshape(
+        16, x.shape[0] // 128, 128
+    )
 
 
 def tap_resolve(rows, tqk, eqk, tfx, tfy, efx, efy, c4: int, vma=()):
-    """(P, 128) gathered merged rows -> (16, P) f32: lanes [0, c4/4) the
-    lerped texture channels, [c4/4, c4/4+4) the lerped environment RGBA."""
+    """(P, 128) gathered merged rows -> (16, P/128, 128) f32 channel planes
+    in the shading chain's pixel-block layout: lanes [0, c4/4) the lerped
+    texture channels, [c4/4, c4/4+4) the lerped environment RGBA.
+
+    The kernel emits the 3-D pixel-block layout directly: a (16, P) output
+    reshaped to (16, R, 128) by the caller tile-groups 8 CHANNELS per
+    (8, 128) tile while the consumer layout tiles 8 pixel-block rows — XLA
+    inserted a 134 MB relayout copy per frame (hlo_r5a copy.307, 0.40 ms)."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -301,15 +309,17 @@ def tap_resolve(rows, tqk, eqk, tfx, tfy, efx, efy, c4: int, vma=()):
 
     p = rows.shape[0]
     bpx = min(4096, p)
-    assert p % bpx == 0
+    assert p % bpx == 0 and p % 128 == 0
     args = [a.reshape(1, p) for a in (tqk, eqk, tfx, tfy, efx, efy)]
     return pl.pallas_call(
         functools.partial(_tap_resolve_kernel, c4=c4),
         grid=(p // bpx,),
         in_specs=[pl.BlockSpec((bpx, 128), lambda i: (i, 0))]
         + [pl.BlockSpec((1, bpx), lambda i: (0, i))] * 6,
-        out_specs=pl.BlockSpec((16, bpx), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((16, p), jnp.float32, vma=frozenset(vma)),
+        out_specs=pl.BlockSpec((16, bpx // 128, 128), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (16, p // 128, 128), jnp.float32, vma=frozenset(vma)
+        ),
         interpret=jax.default_backend() != "tpu",
     )(rows, *args)
 
@@ -419,123 +429,164 @@ def _tile_tap_resolve_kernel(
     env4 = etop + (ebot - etop) * efy
     out_ref[...] = jnp.concatenate(
         [tex8, env4, jnp.zeros((4, x.shape[0]), jnp.float32)], axis=0
-    )
+    ).reshape(16, x.shape[0] // 128, 128)
 
 
 def tile_tap_resolve(rows, ty, tx, eqk, tfx, tfy, efx, efy, vma=()):
-    """(P, 128) gathered tile/env rows -> (16, P) f32: [0:8) the material's
-    texture channels (diffuse RGB, normal XYZ, mr G, mr B), [8:12) env."""
+    """(P, 128) gathered tile/env rows -> (16, P/128, 128) f32 pixel-block
+    channel planes: [0:8) the material's texture channels (diffuse RGB,
+    normal XYZ, mr G, mr B), [8:12) env. 3-D output for the same relayout
+    reason as tap_resolve (hlo_r5a copy.307)."""
     import functools  # noqa: F401
 
     from jax.experimental import pallas as pl
 
     p = rows.shape[0]
     bpx = min(4096, p)
-    assert p % bpx == 0
+    assert p % bpx == 0 and p % 128 == 0
     args = [a.reshape(1, p) for a in (ty, tx, eqk, tfx, tfy, efx, efy)]
     return pl.pallas_call(
         _tile_tap_resolve_kernel,
         grid=(p // bpx,),
         in_specs=[pl.BlockSpec((bpx, 128), lambda i: (i, 0))]
         + [pl.BlockSpec((1, bpx), lambda i: (0, i))] * 7,
-        out_specs=pl.BlockSpec((16, bpx), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((16, p), jnp.float32, vma=frozenset(vma)),
+        out_specs=pl.BlockSpec((16, bpx // 128, 128), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (16, p // 128, 128), jnp.float32, vma=frozenset(vma)
+        ),
         interpret=jax.default_backend() != "tpu",
     )(rows, *args)
 
 
 def tile_row_groups(covered, gid_pix, n_groups: int):
-    """Per-128-px-row material-group verdicts for the grouped tile gather.
+    """Per-128-px-row material-group claims for the grouped tile gather.
 
     covered / gid_pix: (R, 128) — gid_pix is each covered pixel's material
-    group (junk on uncovered lanes). Returns (row_gid (R,) i32, mixed (R,)
-    bool): rows whose covered pixels all share one group claim it (rows with
-    no covered pixels claim group 0 — their gathers are env rows, which
-    every group's slice carries); rows spanning >1 group are ``mixed`` and
-    take the full-table fallback. Shared by the render path and
-    pipeline.measure_tex_group_rows so autotuned caps match exactly."""
+    group (junk on uncovered lanes). Returns (g_lo, g_hi, many): the lowest
+    and highest group touched by the row's covered pixels (rows with no
+    covered pixels claim group 0: g_lo == g_hi == 0 — their gathers are env
+    rows, which every group's slice carries) and whether MORE than two
+    distinct groups are touched. Rows touching exactly two groups claim
+    BOTH (dual-claim: 2 fast-tier gathers + a per-pixel select beat one
+    slow-tier fallback gather ~2.7x — tools/plan_tex_groups on dumped row
+    masks); ``many`` rows take the full-table fallback. Shared by the
+    render path and pipeline.measure_tex_group_rows so autotuned caps match
+    exactly."""
     big = jnp.int32(n_groups)
     gmin = jnp.min(jnp.where(covered, gid_pix, big), axis=1)
     gmax = jnp.max(jnp.where(covered, gid_pix, -1), axis=1)
     has_cov = gmax >= 0
-    row_gid = jnp.where(has_cov, jnp.maximum(gmax, 0), 0)
-    mixed = has_cov & (gmin != gmax)
-    return row_gid, mixed
+    g_lo = jnp.where(has_cov, gmin, 0)
+    g_hi = jnp.where(has_cov, gmax, 0)
+    mid = covered & (gid_pix != g_lo[:, None]) & (gid_pix != g_hi[:, None])
+    many = jnp.any(mid, axis=1)
+    return g_lo, g_hi, many
 
 
-def tile_tap_resolve_grouped(tiles, groups, caps, idx, row_gid, mixed, aux, vma=()):
+def tile_tap_resolve_grouped(
+    tiles, groups, caps, trow, covered, eqd, gid_pix, g_lo, g_hi, many, aux,
+    vma=(),
+):
     """Compacted per-group tile/env gathers + tap resolve + row reassembly.
 
     tiles: the full interleaved (N, 128) i32 table (io.build.group_tile_atlas
     layout); groups: TextureAtlas.tile_groups; caps: len(groups)+1 static
-    row capacities, each a multiple of 32, last = fallback; idx: (R, 128)
-    absolute gather rows (covered pixels their tile row, uncovered their
-    claimed group's env row); row_gid / mixed from tile_row_groups; aux: the
-    7 per-pixel (R, 128) planes tile_tap_resolve consumes (ty, tx, eq%8,
-    tfx, tfy, efx, efy). Returns (out16 (16, R, 128) f32, fb_rows scalar).
+    row capacities, each a multiple of 32, last = fallback; trow: (R, 128)
+    absolute tile rows of covered pixels; eqd: (R, 128) env-quad row offset
+    (eq // 8) for uncovered pixels; gid_pix / g_lo / g_hi / many: per-pixel
+    groups and the row claims from tile_row_groups; aux: the 7 per-pixel
+    (R, 128) planes tile_tap_resolve consumes (ty, tx, eq%8, tfx, tfy, efx,
+    efy). Returns (out16 (16, R, 128) f32, fb_rows scalar).
 
-    Routing: rows uniform in group g are compacted (stable argsort — the
+    Routing (measured design, tools/plan_tex_groups + probe_gather_cliff):
+    a row claims every group its covered pixels touch (at most two — the
+    dual-claim; uncovered pixels ride along reading the claiming group's
+    env copy). Claimed rows are compacted per group (stable argsort — the
     pcf_row_cap pattern, ops/shadow.py:909) and gather from the group's
-    STATIC slice, which sits under the ~112 MB fast-gather tier (~1.8 vs
-    ~9.9 ns/row on the full reference-scale table, tools/probe_gather_cliff);
-    mixed rows and per-group cap overflow spill to a compacted full-table
-    fallback. Kept rows' pixels see bit-identical gather rows and aux values
-    to the plain path and reassembly is a pure row permutation, so the frame
-    is BIT-IDENTICAL (tests/test_tex_groups.py). fb_rows > caps[-1] means
+    STATIC slice at the ~1.8 ns/row fast tier (vs ~9.9 on the full
+    reference-scale table). Rows touching >2 groups, or spilling ANY of
+    their claimed groups' caps, take a compacted full-table fallback.
+    Reassembly is a row permutation per claim plus a per-pixel select
+    between a row's two claimed streams — every pixel sees bit-identical
+    gather rows and aux values to the plain path, so the frame is
+    BIT-IDENTICAL (tests/test_tex_groups.py). fb_rows > caps[-1] means
     fallback overflow: those rows carry another row's values — the caller
     must treat it like pair-buffer overflow (pipeline.check_stats raises).
     """
     g_n = len(groups)
     assert len(caps) == g_n + 1 and all(c % 32 == 0 and c > 0 for c in caps)
-    assert idx.ndim == 2 and idx.shape[1] == 128
-    r = idx.shape[0]
+    assert trow.ndim == 2 and trow.shape[1] == 128
+    r = trow.shape[0]
     pad = -r % 32
     rp = r + pad
     caps = tuple(min(c, rp) for c in caps)  # a cap never needs > all rows
     if pad:
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
-        row_gid = jnp.pad(row_gid, (0, pad))
-        mixed = jnp.pad(mixed, (0, pad))
+        trow = jnp.pad(trow, ((0, pad), (0, 0)))
+        covered = jnp.pad(covered, ((0, pad), (0, 0)))
+        eqd = jnp.pad(eqd, ((0, pad), (0, 0)))
+        gid_pix = jnp.pad(gid_pix, ((0, pad), (0, 0)))
+        g_lo = jnp.pad(g_lo, (0, pad))
+        g_hi = jnp.pad(g_hi, (0, pad))
+        many = jnp.pad(many, (0, pad))
         aux = [jnp.pad(a, ((0, pad), (0, 0))) for a in aux]
-    parts = []  # (kept, order, rank) per group, then the fallback
-    kept_any = jnp.zeros((rp,), bool)
+
+    ranks, kepts = [], []
     for g in range(g_n):
-        member = (~mixed) & (row_gid == g)
+        member = (~many) & ((g_lo == g) | (g_hi == g))
         rank = jnp.cumsum(member.astype(jnp.int32)) - 1
-        kept = member & (rank < caps[g])
-        kept_any = kept_any | kept
-        order = jnp.argsort(jnp.where(kept, 0, 1), stable=True)[: caps[g]]
-        parts.append((kept, order, rank))
-    fb = ~kept_any
+        kepts.append(member & (rank < caps[g]))
+        ranks.append(rank)
+    # A dual row that spills EITHER claimed cap demotes whole to fallback
+    # (its kept slot in the other group goes unread — junk, never consumed).
+    ok_lo = jnp.zeros((rp,), bool)
+    ok_hi = jnp.zeros((rp,), bool)
+    for g in range(g_n):
+        ok_lo = ok_lo | ((g_lo == g) & kepts[g])
+        ok_hi = ok_hi | ((g_hi == g) & kepts[g])
+    fb = many | ~(ok_lo & ok_hi)
     fb_rows = jnp.sum(fb.astype(jnp.int32))
     fb_rank = jnp.cumsum(fb.astype(jnp.int32)) - 1
-    fb_order = jnp.argsort(jnp.where(fb, 0, 1), stable=True)[: caps[g_n]]
-    parts.append((fb, fb_order, fb_rank))
 
     outs = []
-    for g, (kept, order, rank) in enumerate(parts):
-        if g < g_n:
-            lo, _env_base, hi, _mat_lo = groups[g]
-            src = tiles[lo:hi]
-        else:
-            lo, hi = 0, tiles.shape[0]
-            src = tiles
-        # Unclaimed slots past a part's row count hold junk rows whose
-        # gathers are clipped into range and never read back.
-        loc = jnp.clip(idx - lo, 0, hi - lo - 1)
-        cidx = loc[order].reshape(-1)
+    for g in range(g_n):
+        lo, env_base, hi = groups[g][:3]
+        order = jnp.argsort(jnp.where(kepts[g], 0, 1), stable=True)[: caps[g]]
+        # Per-part idx: covered pixels their tile row, uncovered this
+        # group's env copy (slice-local). Non-member pixels of a dual row
+        # (the OTHER group's pixels) clip to junk inside the slice — their
+        # values are discarded by the reassembly select.
+        idx_g = jnp.where(covered, trow - lo, (env_base - lo) + eqd)
+        cidx = jnp.clip(idx_g, 0, hi - lo - 1)[order].reshape(-1)
         caux = [a[order].reshape(-1) for a in aux]
-        out16 = tile_tap_resolve(src[cidx], *caux, vma=vma)
-        outs.append(out16.reshape(16, caps[g], 128))
+        outs.append(tile_tap_resolve(tiles[lo:hi][cidx], *caux, vma=vma))
+    fb_order = jnp.argsort(jnp.where(fb, 0, 1), stable=True)[: caps[g_n]]
+    idx_fb = jnp.where(covered, trow, groups[0][1] + eqd)
+    cidx = jnp.clip(idx_fb, 0, tiles.shape[0] - 1)[fb_order].reshape(-1)
+    caux = [a[fb_order].reshape(-1) for a in aux]
+    outs.append(tile_tap_resolve(tiles[cidx], *caux, vma=vma))
 
     stream = jnp.concatenate(outs, axis=1)  # (16, sum(caps), 128)
     offs = [0]
     for c in caps:
         offs.append(offs[-1] + c)
-    srow = jnp.zeros((rp,), jnp.int32)
-    for g, (kept, order, rank) in enumerate(parts):
-        srow = jnp.where(kept, offs[g] + jnp.clip(rank, 0, caps[g] - 1), srow)
-    planes = [stream[ch][srow] for ch in range(16)]
+    srow_lo = jnp.zeros((rp,), jnp.int32)
+    srow_hi = jnp.zeros((rp,), jnp.int32)
+    for g in range(g_n):
+        at = offs[g] + jnp.clip(ranks[g], 0, caps[g] - 1)
+        srow_lo = jnp.where((~fb) & (g_lo == g), at, srow_lo)
+        srow_hi = jnp.where((~fb) & (g_hi == g), at, srow_hi)
+    fb_at = offs[g_n] + jnp.clip(fb_rank, 0, caps[g_n] - 1)
+    srow_lo = jnp.where(fb, fb_at, srow_lo)
+    srow_hi = jnp.where(fb, fb_at, srow_hi)
+    # Per-pixel pick: a covered pixel of the row's high group reads the hi
+    # stream; everything else (low-group, uncovered/env) the lo stream.
+    # Uniform and fallback rows have srow_hi == srow_lo, so the pick is a
+    # no-op there.
+    pick_hi = covered & (gid_pix == g_hi[:, None])
+    planes = [
+        jnp.where(pick_hi, stream[ch][srow_hi], stream[ch][srow_lo])
+        for ch in range(16)
+    ]
     out16 = jnp.stack(planes, axis=0)[:, :r, :]
     return out16, fb_rows
 

@@ -314,7 +314,12 @@ def _lut_step_q(smat_ref, out_ref, slab, slot, *, xb: int):
                 for _ in range(2)
             ]  # accs[eo][part]
             for r in range(8):
-                base = [slab[slot, 12 * jj + 8 * h + r] for jj in range(4)]
+                # Slab rows are flat (xb*128,) (the 2-D slab avoids the
+                # 65 MB (yp, xb, 128) retile copy); reshape in-register.
+                base = [
+                    slab[slot, 12 * jj + 8 * h + r].reshape(xb, 128)
+                    for jj in range(4)
+                ]
                 x = jnp.concatenate(
                     base if sx == 0 else [shift4(v) for v in base],
                     axis=0,
@@ -367,7 +372,10 @@ def window_row_index_q(start_y, start_x, xb: int):
 
 
 def build_window_lut_q(
-    shadow_map: Array, y_range: Array | None = None
+    shadow_map: Array | None,
+    y_range: Array | None = None,
+    raw_flat: Array | None = None,
+    map_size: int | None = None,
 ) -> tuple[Array, int]:
     """u16-quantized, u32-packed window LUT: 16-row x 8-texel blocks at
     y-stride 12 / x-stride 4, two per 128-lane i32 row.
@@ -385,10 +393,20 @@ def build_window_lut_q(
     consumed pixel gathers a row outside the range (pipeline: the
     sun-frustum cull rect bounds every shaded pixel's start_y). None
     builds the full table.
+
+    ``raw_flat`` (with ``map_size``): a ROW-major depth buffer straight
+    from the lut_rows shadow raster (rows >= map_size / cols >= map_size
+    junk) — replaces the untiled (S, S) map without the untile copies;
+    identical values, identical LUT.
     """
-    s = shadow_map.shape[0]
+    if raw_flat is not None:
+        s = map_size
+        src = raw_flat[:s, :s]
+    else:
+        s = shadow_map.shape[0]
+        src = shadow_map
     sp = s + 4
-    padded = jnp.pad(shadow_map, 2, mode="wrap")
+    padded = jnp.pad(src, 2, mode="wrap")
     xb = _round_up(-(-(sp + 3) // 128), 8)
     qn_y = s // 12 + 1  # window start_y in [0, s]
     jb_count = 8
@@ -397,9 +415,11 @@ def build_window_lut_q(
     yp = 48 * total_steps + 8
     # ONE unshifted padded view; the kernel derives the stride-4 x-parity
     # view in-register (columns past xb*128 are zero pad — sp << xb*128 —
-    # so the shift's tail carry of zeros matches the old wider pad).
-    padded2 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 - sp)))
-    in1 = padded2.reshape(yp, xb, 128)
+    # so the shift's tail carry of zeros matches the old wider pad). The
+    # slab stays 2-D ((yp, xb*128)): reshaping to (yp, xb, 128) retiles
+    # the 65 MB buffer (8 xb-chunks per tile vs 8 rows — hlo_r5a copy.308);
+    # the kernel reshapes each loaded row in-register instead.
+    in1 = jnp.pad(padded, ((0, yp - sp), (0, xb * 128 - sp)))
 
     if y_range is None:
         y_range = jnp.asarray([0, s], jnp.int32)
@@ -416,7 +436,7 @@ def build_window_lut_q(
             (1, 4 * 16 * xb, 128), lambda q, jb, *_: (q * jb_count + jb, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 56, xb, 128), jnp.float32),
+            pltpu.VMEM((2, 56, xb * 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -786,7 +806,7 @@ def pcf_shadow(
 
 
 def pcf_shadow_proj(
-    shadow_map: Array,
+    shadow_map: Array | None,
     x: Array,
     y: Array,
     z: Array,
@@ -799,6 +819,8 @@ def pcf_shadow_proj(
     lut: Array | None = None,
     pyramid: Array | None = None,
     lut_y_range: Array | None = None,
+    raw_flat: Array | None = None,
+    map_size: int | None = None,
 ):
     """pcf_shadow on already-divided NDC components (channel-first callers
     pass the three (..., S) planes directly; the sun is orthographic so the
@@ -825,9 +847,19 @@ def pcf_shadow_proj(
     inclusive bound on every CONSUMED pixel's window start_y — LUT grid
     steps outside it are skipped (build_window_lut_q). The pipeline passes
     the sun-frustum cull rect's y band; pixels whose start_y falls outside
-    it must be ~care / outside (their values are never consumed)."""
-    s = shadow_map.shape[0]
-    assert shadow_map.shape == (s, s)
+    it must be ~care / outside (their values are never consumed).
+
+    ``raw_flat``/``map_size``: quant-LUT path only — the lut_rows shadow
+    raster's row-major depth buffer in place of an (S, S) map (identical
+    values; skips the untile copies — see pipeline.shadow_pass)."""
+    if shadow_map is None:
+        assert raw_flat is not None and map_size is not None
+        s = map_size
+        # raw_flat implies the quant-LUT path (the layouts only exist there).
+        use_lut, quant = True, True
+    else:
+        s = shadow_map.shape[0]
+        assert shadow_map.shape == (s, s)
     u = x * 0.5 + 0.5
     v = 1.0 - (y * 0.5 + 0.5)
     outside = (z > 1.0) | (u < 0.0) | (v < 0.0) | (u > 1.0) | (v > 1.0)
@@ -858,7 +890,10 @@ def pcf_shadow_proj(
         quant = PCF_QUANT
     if use_lut and quant:
         if lut is None:
-            lutq, xb = build_window_lut_q(shadow_map, y_range=lut_y_range)
+            lutq, xb = build_window_lut_q(
+                shadow_map, y_range=lut_y_range, raw_flat=raw_flat,
+                map_size=map_size,
+            )
         else:
             lutq, xb = lut, lut_q_xb(s)
         jrow, k2, yoff, xoff = window_row_index_q(start_y, start_x, xb)
@@ -888,7 +923,9 @@ def pcf_shadow_proj(
             rows = (pn + pad) // 128
             rowcap = effective_row_cap(pn, row_cap)
             if pyramid is None:
-                pyr, meta = build_shadow_pyramid(shadow_map)
+                pyr, meta = build_shadow_pyramid(
+                    shadow_map if shadow_map is not None else raw_flat[:s, :s]
+                )
             else:
                 pyr, meta = pyramid, pyramid_meta(s)
 

@@ -366,8 +366,13 @@ def main() -> None:
     # its loop runs on free ALUs; ours costs an HBM round-trip per light).
     config = dataclasses.replace(config, static_point_lights=4)
     if textured:
-        # Grouped-tile row caps (fast-tier compacted gathers; bit-identical
-        # frames — see RenderConfig.tex_group_caps).
+        # Plan material groups from measured row co-occurrence (rebuild the
+        # tile atlas with the annealed grouping), then size the grouped-tile
+        # row caps. Bit-identical frames — see RenderConfig.tex_group_caps.
+        plan = pipeline.plan_tex_groups(bufs, frames[::4], config)
+        if plan:
+            print(f"tex groups (annealed): {plan}", file=sys.stderr)
+            bufs = build_buffers(meshes, objects, materials, env, tex_groups=plan)
         config = pipeline.autotune_tex_group_caps(bufs, frames, config)
         print(f"tex group caps: {config.tex_group_caps}", file=sys.stderr)
     print(
@@ -450,6 +455,10 @@ def main() -> None:
             ), margin=1.4,
         )
         tconfig = dataclasses.replace(tconfig, static_point_lights=4)
+        plan = pipeline.plan_tex_groups(tbufs, frames[::4], tconfig)
+        if plan:
+            print(f"tex groups (annealed): {plan}", file=sys.stderr)
+            tbufs = build_buffers(tm, to, tmat, tenv, tex_groups=plan)
         tconfig = pipeline.autotune_tex_group_caps(tbufs, frames, tconfig)
         print(f"tex group caps: {tconfig.tex_group_caps}", file=sys.stderr)
         trender_s = pipeline.make_renderer_stats(tconfig)

@@ -108,7 +108,7 @@ def test_tile_atlas_sampler_matches_oracle(rng):
     zero = jnp.zeros(n, jnp.int32)
     zf = jnp.zeros(n, jnp.float32)
     out16 = sampling.tile_tap_resolve(rows, ty, tx, zero, fx, fy, zf, zf)
-    got = np.asarray(out16[:8]).T  # (n, 8)
+    got = np.asarray(out16[:8]).reshape(8, -1).T  # (n, 8)
 
     want = np.stack(
         [_tile_oracle(imgs[m], u[i], v[i]) for i, m in enumerate(mat)]

@@ -83,16 +83,20 @@ def test_group_layout_and_metas():
     assert groups is not None and len(groups) >= 2
     # Slices are disjoint, ordered, self-contained, and cover the table.
     prev_end = 0
-    for mstart, env_base, end, _mat_lo in groups:
+    for mstart, env_base, end in groups:
         assert mstart == prev_end and mstart < env_base < end
         prev_end = end
     assert prev_end == bufs.atlas.tiles.shape[0]
     # All env copies hold identical rows.
     t = np.asarray(bufs.atlas.tiles)
     e0 = t[groups[0][1] : groups[0][2]]
-    for mstart, env_base, end, _ in groups[1:]:
+    for mstart, env_base, end in groups[1:]:
         assert np.array_equal(t[env_base:end], e0)
     assert bufs.atlas.tiles_ntex == groups[0][1]
+    assert len(bufs.atlas.tile_group_of) == 6
+    assert sum(bufs.atlas.tile_mat_rows) == sum(
+        env_base - mstart for mstart, env_base, _ in groups
+    )
 
 
 def test_grouped_bit_identical_and_autotune():
@@ -149,6 +153,31 @@ def test_grouped_fallback_overflow_is_loud():
     assert int(stats["tex_fb_rows"]) > 32
     with pytest.raises(RenderError, match="fallback rows overflowed"):
         pipeline.check_stats(stats)
+
+
+def test_explicit_groups_and_planner():
+    # A non-contiguous (planner-style) grouping must render bit-identically,
+    # and the measured-mask planner must return a valid partition.
+    meshes, objects, mats, env = _scene()
+    kw = dict(tri_bucket=512, tile_threshold_texels=0,
+              tex_group_budget=220 * 512)
+    bufs = build_buffers(meshes, objects, mats, env, **kw)
+    params = _params()
+    settings = default_settings()
+    config = RenderConfig(width=W, height=H, shadow_size=128)
+    img_plain, _ = pipeline.render_frame_stats(bufs, params, settings, config)
+
+    explicit = [[0, 5], [1, 4], [2, 3]]
+    bufs_e = build_buffers(meshes, objects, mats, env, tex_groups=explicit, **kw)
+    assert bufs_e.atlas.tile_group_of == (0, 1, 2, 2, 1, 0)
+    tuned = pipeline.autotune_tex_group_caps(bufs_e, params, config)
+    img_e, estats = pipeline.render_frame_stats(bufs_e, params, settings, tuned)
+    pipeline.check_stats(estats)
+    assert np.array_equal(np.asarray(img_e), np.asarray(img_plain))
+
+    plan = pipeline.plan_tex_groups(bufs, params, config)
+    assert plan is not None
+    assert sorted(m for g in plan for m in g) == list(range(6))
 
 
 def test_single_group_scene_ignores_caps():

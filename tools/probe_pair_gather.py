@@ -97,6 +97,63 @@ def main():
     # g. wider table (2x rows) — does table size matter at this scale?
     table2 = jnp.concatenate([table, table], axis=0)
     t_ns("g. 2x table, idx_div", lambda t, i: t[i], (table2, idx_div), cap)
+
+    # In-frame context variants: the bench's fusion.11 replica above runs
+    # 1.81 ns/row standalone but 4.7 in-frame — reproduce the frame's
+    # producer/consumer structure around the SAME gather.
+    from arctic_tpu.ops.raster_tiles import (
+        _phase_resolve_kernel,
+        gather_pair_rows16,
+        pack_raster_rows_packed,
+    )
+    import jax.numpy as jnp2  # noqa: F401
+    from jax.experimental import pallas as pl
+
+    comps16 = [jnp.asarray(rng.random(p_total, np.float32)) for _ in range(16)]
+
+    # i. operand produced by the real Pallas pack kernel (not a parameter).
+    def with_pack(idx):
+        packed = pack_raster_rows_packed(comps16, p_total)
+        return packed[idx // 8]
+
+    t_ns("i. pallas-produced operand", with_pack, (idx,), cap)
+
+    # j. gather feeding the real phase-resolve Pallas kernel.
+    def with_consumer(t, idx):
+        n = idx.shape[0]
+        g = t[idx // 8]
+        out = pl.pallas_call(
+            _phase_resolve_kernel,
+            grid=(n // 2048,),
+            in_specs=[
+                pl.BlockSpec((2048, 128), lambda i: (i, 0)),
+                pl.BlockSpec((1, 2048), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((256, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n // 8, 128), jnp.float32),
+        )(g, (idx % 8).reshape(1, n))
+        return out
+
+    idx8 = idx[: cap // 2048 * 2048]
+    t_ns("j. + phase-resolve consumer", with_consumer, (table, idx8), idx8.shape[0])
+
+    # k. the full in-frame helper (pack kernel + gather + resolve kernel).
+    def full(idx):
+        packed = pack_raster_rows_packed(comps16, p_total)
+        return gather_pair_rows16(packed, idx)
+
+    t_ns("k. full gather_pair_rows16", full, (idx8,), idx8.shape[0])
+
+    # l. gather with the sort in-graph (indices produced by lax.sort).
+    def with_sort(t, raw):
+        sp = jax.lax.sort(raw)
+        return t[(sp & 0xFFFFF) // 8]
+
+    t_ns(
+        "l. sort-produced indices",
+        with_sort,
+        (table, jnp.asarray(idx_sorted_tiles)), cap,
+    )
     # h. the in-frame shape: 2.09M coherent rows from a 92 MB i32 table
     big_rows = 171072
     big = jnp.asarray(rng.integers(0, 2**31 - 1, (big_rows, 128), np.int64).astype(np.int32))
