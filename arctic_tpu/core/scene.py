@@ -307,6 +307,13 @@ class TextureAtlas:
     tile_groups: tuple = static_field(default=None)
     tile_group_of: tuple = static_field(default=None)
     tile_mat_rows: tuple = static_field(default=None)  # tile rows per material
+    # Materialized per-group tables (copies of tiles[mstart:end]). The
+    # grouped gather MUST read true small operands: XLA fuses an in-graph
+    # slice into the gather, whose operand is then the full table — every
+    # per-group gather measured back at the slow tier (7-12 ns/row,
+    # hlo_r5c textured). ~2x HBM for the atlas; built only for multi-group
+    # (reference-scale) scenes.
+    tile_group_tables: tuple = None
 
     @property
     def block_grid(self):

@@ -616,6 +616,16 @@ def build_buffers(
             tile_groups=tile_groups,
             tile_group_of=tile_group_of,
             tile_mat_rows=tile_mat_rows,
+            # Real per-group device tables (not slices): see
+            # core.scene.TextureAtlas.tile_group_tables.
+            tile_group_tables=(
+                tuple(
+                    jnp.asarray(tiles_np[lo:hi])
+                    for lo, _eb, hi in tile_groups
+                )
+                if len(tile_groups) > 1
+                else None
+            ),
         )
     if combined:
         from arctic_tpu.ops.sampling import pack_tex_rows

@@ -711,6 +711,7 @@ def shade_gbuffer(
                 atlas.tiles, groups, caps, trow, covered, eq // 8,
                 gid_pix, g_lo, g_hi, many,
                 [t_ty, t_tx, eq % 8, tfx, tfy, efx, efy], vma=vma,
+                group_tables=atlas.tile_group_tables,
             )
         else:
             tex_fb_rows = jnp.int32(0)
@@ -1390,7 +1391,7 @@ def plan_tex_groups(buffers: SceneBuffers, params, config: RenderConfig):
 
 
 def autotune_tex_group_caps(
-    buffers: SceneBuffers, params, config: RenderConfig, margin: float = 1.25
+    buffers: SceneBuffers, params, config: RenderConfig, margin: float = 1.1
 ) -> RenderConfig:
     """Size the grouped-tile row caps (config.tex_group_caps) to a scene /
     camera path: measure real per-group uniform-row and fallback-row counts

@@ -485,7 +485,7 @@ def tile_row_groups(covered, gid_pix, n_groups: int):
 
 def tile_tap_resolve_grouped(
     tiles, groups, caps, trow, covered, eqd, gid_pix, g_lo, g_hi, many, aux,
-    vma=(),
+    vma=(), group_tables=None,
 ):
     """Compacted per-group tile/env gathers + tap resolve + row reassembly.
 
@@ -550,6 +550,10 @@ def tile_tap_resolve_grouped(
     outs = []
     for g in range(g_n):
         lo, env_base, hi = groups[g][:3]
+        # MUST be a materialized table, not tiles[lo:hi]: XLA fuses the
+        # slice into the gather, whose operand is then the full (slow-tier)
+        # table — measured 7-12 ns/row vs 1.8 (hlo_r5c textured).
+        src = group_tables[g] if group_tables is not None else tiles[lo:hi]
         order = jnp.argsort(jnp.where(kepts[g], 0, 1), stable=True)[: caps[g]]
         # Per-part idx: covered pixels their tile row, uncovered this
         # group's env copy (slice-local). Non-member pixels of a dual row
@@ -558,7 +562,7 @@ def tile_tap_resolve_grouped(
         idx_g = jnp.where(covered, trow - lo, (env_base - lo) + eqd)
         cidx = jnp.clip(idx_g, 0, hi - lo - 1)[order].reshape(-1)
         caux = [a[order].reshape(-1) for a in aux]
-        outs.append(tile_tap_resolve(tiles[lo:hi][cidx], *caux, vma=vma))
+        outs.append(tile_tap_resolve(src[cidx], *caux, vma=vma))
     fb_order = jnp.argsort(jnp.where(fb, 0, 1), stable=True)[: caps[g_n]]
     idx_fb = jnp.where(covered, trow, groups[0][1] + eqd)
     cidx = jnp.clip(idx_fb, 0, tiles.shape[0] - 1)[fb_order].reshape(-1)

@@ -14,7 +14,6 @@ fuses into the end of the frame program — there is nothing to hand-schedule.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -81,18 +80,20 @@ def tonemap(
 ) -> Array:
     """Full post-process chain (post_process.hlsl:74-92).
 
-    tm_method is a traced int32 — lax.switch keeps one compiled frame program
-    for all three operators (the reference keeps one PSO with a CB switch).
-    channel_axis=-2 for the fused path's channel-first (..., 3, S) frames.
+    tm_method is a traced int32 so one compiled frame program serves all
+    three operators (the reference keeps one PSO with a CB switch). All
+    three maps are computed and selected per pixel instead of lax.switch:
+    a conditional is a fusion BARRIER (the chosen branch round-tripped the
+    25 MB HDR buffer through HBM — hlo_r5c cond.3.clone, 0.20 ms/frame),
+    while the select fuses into the shade/post tail; the extra operators
+    are a handful of VPU ops on data already in registers. The selected
+    values are the branches' exact outputs — bit-identical per method.
     """
-    mapped = jax.lax.switch(
-        jnp.clip(tm_method, 0, 2),
-        [
-            lambda c: tm_reinhard(c),
-            lambda c: tm_exposure(c, exposure),
-            lambda c: tm_aces(c, channel_axis),
-        ],
-        color,
+    m = jnp.clip(tm_method, 0, 2)
+    mapped = jnp.where(
+        m == 0,
+        tm_reinhard(color),
+        jnp.where(m == 1, tm_exposure(color, exposure), tm_aces(color, channel_axis)),
     )
     return correct_gamma(mapped, gamma)
 

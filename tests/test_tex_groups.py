@@ -97,6 +97,10 @@ def test_group_layout_and_metas():
     assert sum(bufs.atlas.tile_mat_rows) == sum(
         env_base - mstart for mstart, env_base, _ in groups
     )
+    # Materialized per-group tables mirror their slices exactly.
+    assert len(bufs.atlas.tile_group_tables) == len(groups)
+    for (lo, _eb, hi), tab in zip(groups, bufs.atlas.tile_group_tables):
+        assert np.array_equal(np.asarray(tab), t[lo:hi])
 
 
 def test_grouped_bit_identical_and_autotune():

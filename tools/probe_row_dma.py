@@ -40,7 +40,7 @@ def _kernel(table_hbm, out_ref, slab, sems, *, k: int, rows: int):
 
     def idx(step, j):
         # Cheap in-kernel hash -> pseudo-random 8-aligned row-group starts.
-        h = (step * k + j) * jnp.int32(2654435761)
+        h = (step * k + j) * jnp.int32(-1640531535)  # 2654435761 as i32
         return jax.lax.rem(jnp.abs(h), jnp.int32(rows // 8 - 1)) * 8
 
     def start_all(step, slot):
@@ -95,9 +95,9 @@ def main():
             ],
         )
         times = trace_op_times(lambda t: fn(t), (table,))
-        tot = sum(ms for name, ms in times.items() if "probe" in name.lower()
-                  or "pallas" in name.lower() or "custom" in name.lower()
-                  or "kernel" in name.lower() or "fusion" in name.lower())
+        # The program is a single custom call — take the largest device op
+        # (names vary across runtime versions).
+        tot = max(times.values(), default=0.0)
         n = k * steps
         # Each "row fetch" moves an 8-row group; a per-pixel consumer needs
         # one logical row -> report per DESCRIPTOR and per logical row.

@@ -113,6 +113,15 @@ def main():
     )
     config = dataclasses.replace(config, static_point_lights=4)
     print(f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}", flush=True)
+    if textured and bufs.atlas.tile_groups and len(bufs.atlas.tile_groups) > 1:
+        # Match the bench's grouped-tile route: planned groups + tuned caps.
+        fps_plan = [frame_params(0), frame_params(10), frame_params(19)]
+        plan = pipeline.plan_tex_groups(bufs, fps_plan, config)
+        if plan:
+            print(f"tex groups (annealed): {plan}", flush=True)
+            bufs = build_buffers(meshes, objects, materials, env, tex_groups=plan)
+        config = pipeline.autotune_tex_group_caps(bufs, fps_plan, config)
+        print(f"tex group caps: {config.tex_group_caps}", flush=True)
 
     render = pipeline.make_renderer_stats(config)
     out = render(bufs, frame_params(0), settings)
