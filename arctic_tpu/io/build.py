@@ -617,13 +617,17 @@ def build_buffers(
             tile_group_of=tile_group_of,
             tile_mat_rows=tile_mat_rows,
             # Real per-group device tables (not slices): see
-            # core.scene.TextureAtlas.tile_group_tables.
+            # core.scene.TextureAtlas.tile_group_tables. Only for the
+            # OPT-IN grouped route (explicit tex_groups) — it measured
+            # slower than the plain gather on the bench fly-through (cold
+            # tables gather at the miss tier regardless of size,
+            # docs/FLOORS.md), so default builds skip the ~2x atlas HBM.
             tile_group_tables=(
                 tuple(
                     jnp.asarray(tiles_np[lo:hi])
                     for lo, _eb, hi in tile_groups
                 )
-                if len(tile_groups) > 1
+                if (len(tile_groups) > 1 and tex_groups is not None)
                 else None
             ),
         )

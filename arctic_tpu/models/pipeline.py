@@ -658,6 +658,21 @@ def shade_gbuffer(
     dy = jnp.where(covered, 0.0, dy)
     dz = jnp.where(covered, 0.0, dz)
 
+    # Sun shadow term computed FIRST (the sun is orthographic so the
+    # interpolated light-space xyz needs no divide; care=covered —
+    # uncovered pixels' values are never consumed). Ordering matters on
+    # reference-scale texture scenes: the window LUT is cache-hot right
+    # after its build kernel writes it (docs/FLOORS.md cache model), and
+    # the tile-atlas tap's ~GB of gather traffic would evict it — the
+    # tile branch below ties its gather inputs on shadow_f so the PCF
+    # chain runs first. Values are unchanged (pure scheduling).
+    shadow_f, pcf_rows = shadow.pcf_shadow_proj(
+        shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma,
+        care=covered, row_cap=config.pcf_row_cap, with_rows=True,
+        lut=sun_lut, pyramid=sun_pyr, lut_y_range=lut_y_range,
+        raw_flat=lut_raw, map_size=config.shadow_size,
+    )
+
     env_atlas = getattr(buffers.environment, "atlas", None)
     background = None
     tex_fb_rows = jnp.int32(0)  # grouped-tile fallback rows (stats)
@@ -676,10 +691,18 @@ def shade_gbuffer(
         # Khronos-Sponza texture loads).
         from arctic_tpu.ops.sampling import quad_index, tile_index, tile_tap_resolve
 
-        u_sky, v_sky = sky.env_uv_cf(dx, dy, dz)
+        # Cache-ordering tie: the PCF window LUT is hot right after its
+        # build kernel writes it; this tap's ~GB of reference-scale gather
+        # traffic evicts it (PCF measured 11 ns/row when scheduled after —
+        # docs/FLOORS.md cache model). Gating the tap's inputs on shadow_f
+        # makes the whole PCF chain run first. Values unchanged.
+        def tie(a):
+            return jax.lax.optimization_barrier((a, shadow_f))[0]
+
+        u_sky, v_sky = sky.env_uv_cf(tie(dx), tie(dy), tie(dz))
         trow, t_ty, t_tx, tfx, tfy = tile_index(
             reg_lane(43, 0.0), reg_lane(44, 1.0), reg_lane(45, 1.0),
-            reg_lane(46, 1.0), u_uv, v_uv,
+            reg_lane(46, 1.0), tie(u_uv), tie(v_uv),
         )
         ereg = env_atlas.regions[0, 0]
         eq, efx, efy = quad_index(
@@ -850,17 +873,8 @@ def shade_gbuffer(
     n = t_v * nm[0:1] + b_v * nm[1:2] + n_v * nm[2:3]
     n = n / jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True))
 
-    # Sun shadow term (the sun is orthographic so light-space w == 1; the
-    # interpolated xyz is exactly the old per-pixel sun_pv @ [wp, 1]).
-    # care=covered: uncovered pixels' shadow never reaches the output (the
-    # final where(covered) discards their color), so penumbra
-    # classification treats them as don't-care — sky rows classify free.
-    shadow_f, pcf_rows = shadow.pcf_shadow_proj(
-        shadow_map, gbuf[14], gbuf[15], gbuf[16], vma=vma,
-        care=covered, row_cap=config.pcf_row_cap, with_rows=True,
-        lut=sun_lut, pyramid=sun_pyr, lut_y_range=lut_y_range,
-        raw_flat=lut_raw, map_size=config.shadow_size,
-    )
+    # (shadow_f/pcf_rows computed above, before the texture taps —
+    # cache-ordering tie; see the comment there.)
     lit = (1.0 - shadow_f)[None]  # (1, T, S)
 
     eye = params.camera.eye

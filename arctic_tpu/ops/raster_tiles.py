@@ -37,6 +37,17 @@ def _interpret() -> bool:
 # dot (A/B'd on hardware; bit-identical either way — see _select_kernel).
 SELECT_SPLIT_DOTS = False
 
+# Triangles per unrolled raster-kernel group step (multiple of 8; the
+# per-triangle fixed cost — 13 dynamic-address SMEM scalar loads + loop
+# bookkeeping — dominates per-pair time, so deeper unrolls trade loop
+# overhead for code size). 8 is the round-3 baseline; override via
+# ARCTIC_RASTER_UNROLL for hardware A/Bs. Results are bit-identical (the
+# per-triangle math and masking are unchanged; only grouping differs).
+import os as _os
+
+RASTER_UNROLL = int(_os.environ.get("ARCTIC_RASTER_UNROLL", "8"))
+assert RASTER_UNROLL % 8 == 0 and RASTER_UNROLL > 0
+
 # Select kernel: pixel banks per tile for chunk x bank zero-dot skipping
 # (segments are slot-sorted, so a chunk's slot range and a bank's winner
 # range are exact bounds — a disjoint pair contributes only zeros and its
@@ -452,12 +463,18 @@ def _raster_kernel(
                 # validity folds into 3 SCALAR selects on the z-plane
                 # (invalid -> z==2 fails z<=1), costing no vector ops.
                 def group_body(g, _):
-                    for u in range(8):
-                        k = g * 8 + u
+                    for u in range(RASTER_UNROLL):
+                        k = g * RASTER_UNROLL + u
                         if full_rows:
-                            r = lambda j, g=g, u=u: rows_smem[slot, g * 8 + u, 112 + j]
-                        else:
-                            r = lambda j, g=g, u=u: rows_smem[slot, g, u * 16 + j]
+                            r = lambda j, g=g, u=u: rows_smem[
+                                slot, g * RASTER_UNROLL + u, 112 + j
+                            ]
+                        else:  # packed: triangle k at row k//8, lane (k%8)*16
+                            r = lambda j, g=g, u=u: rows_smem[
+                                slot,
+                                g * (RASTER_UNROLL // 8) + u // 8,
+                                (u % 8) * 16 + j,
+                            ]
                         valid = (k >= lo) & (k < hi)
                         e0 = r(0) * px + r(1) * py + r(2)
                         e1 = r(3) * px + r(4) * py + r(5)
@@ -483,7 +500,9 @@ def _raster_kernel(
                             iref[i] = jnp.where(ok, sid, iref[i])
                     return 0
 
-                jax.lax.fori_loop(lo // 8, pl.cdiv(hi, 8), group_body, 0)
+                jax.lax.fori_loop(
+                    lo // RASTER_UNROLL, pl.cdiv(hi, RASTER_UNROLL), group_body, 0
+                )
                 return 0
 
             jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -939,6 +958,9 @@ def bin_and_rasterize(
         # Pack 8 logical 16-f32 rows per 128-lane row for full-lane DMA —
         # packed-table build + full-row gather + phase-resolve kernel (the
         # direct (P,16) table[idx] gather pays 12-24 ns/row in any layout).
+        # (A pack-after-sort ordering tie was A/B'd on hardware and did
+        # NOT move the gather's 4.7 ns/row in-frame anomaly — reverted;
+        # docs/FLOORS.md "fusion.11".)
         packed = pack_raster_rows_packed(comps, p_total, vma=vma)
         rows = gather_pair_rows16(packed, idx, vma=vma)
     row0_arr = jnp.asarray(tile_row0, jnp.int32).reshape(1)

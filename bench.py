@@ -365,16 +365,12 @@ def main() -> None:
     # fused BRDF pass (the reference's shader also specializes nothing here —
     # its loop runs on free ALUs; ours costs an HBM round-trip per light).
     config = dataclasses.replace(config, static_point_lights=4)
-    if textured:
-        # Plan material groups from measured row co-occurrence (rebuild the
-        # tile atlas with the annealed grouping), then size the grouped-tile
-        # row caps. Bit-identical frames — see RenderConfig.tex_group_caps.
-        plan = pipeline.plan_tex_groups(bufs, frames[::4], config)
-        if plan:
-            print(f"tex groups (annealed): {plan}", file=sys.stderr)
-            bufs = build_buffers(meshes, objects, materials, env, tex_groups=plan)
-        config = pipeline.autotune_tex_group_caps(bufs, frames, config)
-        print(f"tex group caps: {config.tex_group_caps}", file=sys.stderr)
+    # NOTE: the grouped-tile route (pipeline.plan_tex_groups +
+    # autotune_tex_group_caps) stays OFF: per-frame gathers from cold
+    # tables run at the miss tier regardless of table size, so compacted
+    # per-group gathers measured SLOWER than the plain full-table gather
+    # (75-97 vs 57 ms/frame — docs/FLOORS.md cache model, a recorded
+    # dead-end; the machinery remains opt-in and bit-identical).
     print(
         f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}",
         file=sys.stderr,
@@ -455,12 +451,7 @@ def main() -> None:
             ), margin=1.4,
         )
         tconfig = dataclasses.replace(tconfig, static_point_lights=4)
-        plan = pipeline.plan_tex_groups(tbufs, frames[::4], tconfig)
-        if plan:
-            print(f"tex groups (annealed): {plan}", file=sys.stderr)
-            tbufs = build_buffers(tm, to, tmat, tenv, tex_groups=plan)
-        tconfig = pipeline.autotune_tex_group_caps(tbufs, frames, tconfig)
-        print(f"tex group caps: {tconfig.tex_group_caps}", file=sys.stderr)
+        # Grouped-tile route off — see the note at the primary autotune.
         trender_s = pipeline.make_renderer_stats(tconfig)
         textured_fps, timg = time_flythrough(trender_s, tbufs, frames, settings)
         check_golden(np.asarray(timg), "bench_tex1024.png", "textured bench final frame")

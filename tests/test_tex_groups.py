@@ -97,10 +97,8 @@ def test_group_layout_and_metas():
     assert sum(bufs.atlas.tile_mat_rows) == sum(
         env_base - mstart for mstart, env_base, _ in groups
     )
-    # Materialized per-group tables mirror their slices exactly.
-    assert len(bufs.atlas.tile_group_tables) == len(groups)
-    for (lo, _eb, hi), tab in zip(groups, bufs.atlas.tile_group_tables):
-        assert np.array_equal(np.asarray(tab), t[lo:hi])
+    # Default builds skip the materialized per-group copies (opt-in route).
+    assert bufs.atlas.tile_group_tables is None
 
 
 def test_grouped_bit_identical_and_autotune():
@@ -174,6 +172,13 @@ def test_explicit_groups_and_planner():
     explicit = [[0, 5], [1, 4], [2, 3]]
     bufs_e = build_buffers(meshes, objects, mats, env, tex_groups=explicit, **kw)
     assert bufs_e.atlas.tile_group_of == (0, 1, 2, 2, 1, 0)
+    # Explicit (opt-in) builds materialize per-group tables = their slices.
+    te = np.asarray(bufs_e.atlas.tiles)
+    assert len(bufs_e.atlas.tile_group_tables) == len(bufs_e.atlas.tile_groups)
+    for (lo, _eb, hi), tab in zip(
+        bufs_e.atlas.tile_groups, bufs_e.atlas.tile_group_tables
+    ):
+        assert np.array_equal(np.asarray(tab), te[lo:hi])
     tuned = pipeline.autotune_tex_group_caps(bufs_e, params, config)
     img_e, estats = pipeline.render_frame_stats(bufs_e, params, settings, tuned)
     pipeline.check_stats(estats)

@@ -113,7 +113,10 @@ def main():
     )
     config = dataclasses.replace(config, static_point_lights=4)
     print(f"pair caps: cam={config.pair_cap_cam} shadow={config.pair_cap_shadow}", flush=True)
-    if textured and bufs.atlas.tile_groups and len(bufs.atlas.tile_groups) > 1:
+    if (
+        textured and "--grouped" in sys.argv
+        and bufs.atlas.tile_groups and len(bufs.atlas.tile_groups) > 1
+    ):
         # Match the bench's grouped-tile route: planned groups + tuned caps.
         fps_plan = [frame_params(0), frame_params(10), frame_params(19)]
         plan = pipeline.plan_tex_groups(bufs, fps_plan, config)
