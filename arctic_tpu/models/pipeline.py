@@ -47,8 +47,11 @@ Array = jnp.ndarray
 # hardware). r3f sweep (post resolve-kernel): shade-rows fence off is
 # ~0.7 ms better (69.54 vs 70.26, consistent with r3a); gbuf fence off is
 # 2.5 ms WORSE (XLA re-fuses the select kernel's output consumer chain).
-FENCE_SHADE_ROWS = False
-FENCE_GBUF = True
+# Re-swept r5 post-restructuring via the env overrides: unchanged verdict.
+import os as _os
+
+FENCE_SHADE_ROWS = _os.environ.get("ARCTIC_FENCE_SHADE_ROWS", "0") == "1"
+FENCE_GBUF = _os.environ.get("ARCTIC_FENCE_GBUF", "1") == "1"
 
 
 def vertex_world_positions(geom: Geometry) -> Array:
