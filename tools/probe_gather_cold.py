@@ -7,7 +7,15 @@ One jitted program per table size, ordering-tied with optimization_barrier:
     g2 = table[idx]      # COLD: measured right after the eviction stream
 
 Per-HLO trace times give g1 (warm) and g2 (cold) separately in the same
-run. Usage: python tools/probe_gather_cold.py
+run.
+
+Result (2026-08-21, v5e via axon): BOTH gathers 1.80 ns/row for 16-92 MB
+tables (2.02 at 112 MB; the 5.94 ms entry in the output is the eviction
+gather itself, 600k rows x 9.9). A 300 MB eviction stream does NOT slow
+a small-table gather in isolation — the in-frame slow instances are
+schedule-dependent, not explained by simple eviction (docs/FLOORS.md).
+
+Usage: python tools/probe_gather_cold.py
 """
 
 import os

@@ -6,6 +6,10 @@ changed) pushed the 92 MB PCF window-LUT gather from 4.2 ms to 23.0 ms
 This measures the SAME 92 MB-table, 2.09M-row gather with increasing
 amounts of unrelated resident device memory.
 
+Result (2026-08-21): **1.81 ns/row flat** from 1.2 GB to 3.7 GB resident
+— total residency does NOT set the tier; the r5d textured slowdowns were
+schedule-dependent instead (docs/FLOORS.md, probe_gather_cold).
+
 Usage: python tools/probe_mem_pressure.py
 """
 

@@ -17,6 +17,12 @@ cost counted — a real implementation would also have to stream its index
 arrays). Reported ns/row is the OPTIMISTIC floor: compare against the
 measured ~1.8-2.0 ns/row of the XLA gathers.
 
+Result (2026-08-21, v5e via axon): **~253-257 ns per descriptor** at
+k=64/128 outstanding copies (the k=32 first row is polluted by a startup
+outlier) vs 1.81-9.9 ns/row for XLA gathers — the DMA route is ~25-140x
+off its competitor before counting the 8x traffic and index streaming.
+Conclusively dead (VERDICT r4 next #2; docs/FLOORS.md).
+
 Usage: python tools/probe_row_dma.py
 """
 
