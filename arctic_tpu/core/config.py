@@ -98,17 +98,16 @@ class RenderConfig:
     # check_stats raises, exactly like the pair buffers.
     pcf_row_cap: int | None = None
 
-    # Reference-scale texture sets (the u16 tile atlas): per-material-group
-    # compacted 128-px-row gathers. The tile table is laid out as material
-    # groups each under the ~112 MB fast-gather tier (io.build.
-    # group_tile_atlas); with caps set, rows whose covered pixels stay in
-    # one group gather from that group's slice at the ~1.8 ns/row tier
-    # (vs ~9.9 on the full ~600 MB table) and only group-mixed rows pay the
-    # full-table fallback. Tuple of len(groups) + 1 static row capacities
-    # (last = fallback); None = the plain full-table gather. Values are
-    # BIT-IDENTICAL either way (pure row routing); fallback overflow is
-    # loud via stats (tex_fb_rows vs tex_fb_cap, like the pair buffers).
-    # pipeline.autotune_tex_group_caps sizes the caps to a scene/fly-path.
+    # Reference-scale texture sets (the u16 tile atlas): OPT-IN
+    # per-material-group compacted 128-px-row gathers (requires a scene
+    # built with build_buffers(tex_groups=...)). Tuple of len(groups) + 1
+    # static row capacities (last = fallback); None (default) = the plain
+    # full-table gather. Values are BIT-IDENTICAL either way (pure row
+    # routing); fallback overflow is loud via stats (tex_fb_rows vs
+    # tex_fb_cap, like the pair buffers); autotune_tex_group_caps sizes
+    # the caps to a scene/fly-path. MEASURED SLOWER than the plain gather
+    # on the bench fly-through (in-frame per-group tables are cache-cold —
+    # docs/FLOORS.md dead-end record), so nothing enables it by default.
     tex_group_caps: tuple | None = None
 
     # Emulate the R16G16B16A16_FLOAT HDR color target (renderer.cpp:128-144):

@@ -293,10 +293,11 @@ class TextureAtlas:
     tiles: jnp.ndarray = None  # (N, 128) i32 merged [tex tiles; env rows]
     tiles_ntex: int = static_field(default=0)
     # Material-group partition of ``tiles`` (io.build.group_tile_atlas):
-    # reference-scale sets blow past the ~112 MB fast-gather tier (measured
-    # ~1.8 ns/row below, ~9.9 above — tools/probe_gather_cliff), so the
-    # table is laid out as [group-0 tiles | env copy | group-1 tiles | env
-    # copy | ...] with each group's slice under the tier. Rows are
+    # the table is laid out as [group-0 tiles | env copy | group-1 tiles |
+    # env copy | ...] with each group's slice under the ~112 MB
+    # warm-gather tier (tools/probe_gather_cliff; in-frame the grouped
+    # route measured SLOWER than the plain gather — cold tables,
+    # docs/FLOORS.md — so it is opt-in). Rows are
     # (mstart, env_base, end): absolute row bounds of the slice and its
     # env-copy base. A single entry == the ungrouped layout (tiles_ntex ==
     # that entry's env_base). Consumed by

@@ -16,6 +16,13 @@ On the textured bench fly-through this cuts the modeled tap-gather cost
 from 7.3 ms (contiguous-by-id groups) to ~5.7 ms (tools/plan_tex_groups
 records the search on dumped masks). Rebuild buffers with the planned
 groups via build_buffers(..., tex_groups=plan).
+
+CAVEAT (measured, docs/FLOORS.md): the cost model assumes per-group
+tables gather at the warm 1.81 ns/row tier — in-frame they are COLD and
+measured 5-12 ns/row, so the whole grouped route ran SLOWER than the
+plain full-table gather on the bench (75-97 vs 55 ms/frame). The
+machinery is kept opt-in (bit-identical) for scenes/caches where the
+assumption holds; the bench ships the plain gather.
 """
 
 from __future__ import annotations

@@ -498,14 +498,16 @@ def tile_tap_resolve_grouped(
     (R, 128) planes tile_tap_resolve consumes (ty, tx, eq%8, tfx, tfy, efx,
     efy). Returns (out16 (16, R, 128) f32, fb_rows scalar).
 
-    Routing (measured design, tools/plan_tex_groups + probe_gather_cliff):
-    a row claims every group its covered pixels touch (at most two — the
-    dual-claim; uncovered pixels ride along reading the claiming group's
-    env copy). Claimed rows are compacted per group (stable argsort — the
+    Routing (tools/plan_tex_groups + probe_gather_cliff): a row claims
+    every group its covered pixels touch (at most two — the dual-claim;
+    uncovered pixels ride along reading the claiming group's env copy).
+    Claimed rows are compacted per group (stable argsort — the
     pcf_row_cap pattern, ops/shadow.py:909) and gather from the group's
-    STATIC slice at the ~1.8 ns/row fast tier (vs ~9.9 on the full
-    reference-scale table). Rows touching >2 groups, or spilling ANY of
+    materialized table. Rows touching >2 groups, or spilling ANY of
     their claimed groups' caps, take a compacted full-table fallback.
+    NOTE (docs/FLOORS.md): in-frame the per-group tables are cache-COLD
+    and gathered 5-12 ns/row, so this route measured SLOWER than the
+    plain full-table gather on the bench — it stays opt-in.
     Reassembly is a row permutation per claim plus a per-pixel select
     between a row's two claimed streams — every pixel sees bit-identical
     gather rows and aux values to the plain path, so the frame is
